@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Local sandbox runs `local[k]`; on a real cluster the same settings apply
+  * (AQE, skew-join splitting, small shuffle-partition floor is overridden by
+  * the submitter). Shuffle partitions default to the local core count rather
+  * than Spark's 200 — at cluster scale the caller sets this to 2-3x cores.
+  */
+object Sessions {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), cores, appName)
+
+  def configure(b: SparkSession.Builder, shufflePartitions: Int, appName: String): SparkSession = {
+    val spark = b
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

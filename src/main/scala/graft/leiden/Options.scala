@@ -1,0 +1,40 @@
+package graft.leiden
+
+import org.apache.spark.sql.DataFrame
+
+/** Algorithm options, defaults identical to the reference
+  * (`/root/reference/inc/leiden.hxx:26-59`, defaults at `:56`).
+  */
+case class LeidenOptions(
+    resolution: Double = 1.0,
+    tolerance: Double = 1e-2,
+    aggregationTolerance: Double = 0.8,
+    toleranceDrop: Double = 10.0,
+    maxIterations: Int = 20,
+    maxPasses: Int = 10,
+    /** Misra-Gries sketch slots for the low-memory scan; 0 = exact scan.
+      * Reference uses 64 (multi) and 1 (majority)
+      * (`/root/reference/main.cxx:69-75`).
+      */
+    sketchSlots: Int = 0,
+    /** Directory for per-pass snapshots (checkpoint/resume). Empty = use
+      * Spark localCheckpoint only (no durability).
+      */
+    snapshotDir: Option[String] = None)
+
+/** Result record (`/root/reference/inc/leiden.hxx:73-145` analog).
+  *
+  * @param membership   (id, comm) final leaf-vertex community assignment
+  * @param iterations   total local-move+refine iterations across passes
+  * @param passes       number of coarsening passes executed
+  * @param modularity   Q of the final membership on the input graph
+  * @param communities  number of distinct final communities
+  * @param phaseMillis  per-phase wall times (init/move/refine/aggregate/total)
+  */
+case class LeidenResult(
+    membership: DataFrame,
+    iterations: Int,
+    passes: Int,
+    modularity: Double,
+    communities: Long,
+    phaseMillis: Map[String, Long])
