@@ -1,0 +1,60 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanUtils
+
+/** Connected components by iterative min-label propagation.
+  *
+  * Exact component id = min vertex id in the component (SURVEY.md §2.10).
+  * Each round every vertex adopts min(own label, neighbors' labels); fixpoint
+  * when no label changes. Rounds ~ graph diameter; each round is one
+  * shuffle-join (edges x labels) + one aggregation. Lineage is truncated
+  * every round with localCheckpoint so 100+ round road-network-style graphs
+  * don't blow up the driver.
+  *
+  * Also the engine's Leiden refinement core: restricted to intra-community
+  * edges it yields the sub-communities that make aggregation well-connected
+  * (`/root/reference/inc/leiden.hxx:734-743` refinement goal; see
+  * graft.leiden.Refine for the semantic mapping).
+  */
+object Components {
+
+  /** @param edges    symmetrized (src,dst,w)
+    * @param vertices single-column DF "id" — every vertex that must get a
+    *                 label even if isolated
+    * @return (id, comp) with comp = min vertex id reachable
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame, maxIters: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select("src", "dst").cache()
+    var labels = PlanUtils.checkpointTruncated(
+      vertices.select(col("id"), col("id").as("comp")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // candidate label for dst = min over incoming src labels
+      val viaEdges = e
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("nc"))
+      val next = PlanUtils.checkpointTruncated(labels
+        .join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          (col("nc").isNotNull && col("nc") < col("comp")).as("moved")))
+      changed = next.filter(col("moved")).count()
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Number of distinct components. */
+  def componentCount(labels: DataFrame): Long =
+    labels.select("comp").distinct().count()
+
+  /** Component size histogram: (comp, size). */
+  def componentSizes(labels: DataFrame): DataFrame =
+    labels.groupBy("comp").agg(count(lit(1)).as("size"))
+}

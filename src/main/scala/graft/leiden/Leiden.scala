@@ -1,0 +1,147 @@
+package graft.leiden
+
+import graft.graph.EdgeTable
+import graft.io.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanUtils
+
+/** Leiden community detection: the pass-loop driver
+  * (`leidenInvokeOmp`, `/root/reference/inc/leiden.hxx:662-780`).
+  *
+  * Per pass (matching the reference's control flow):
+  *   1. local-moving from singleton init (`/root/reference/inc/leiden.hxx:731-732`),
+  *   2. refinement: membership becomes the bound, vertices re-init to
+  *      singletons, REFINE-constrained moving merges singletons within
+  *      bounds (`/root/reference/inc/leiden.hxx:734-743`),
+  *   3. stop if (move+refine iterations) <= 1 or maxPasses
+  *      (`/root/reference/inc/leiden.hxx:744-746`),
+  *   4. stop if communities/vertices >= aggregationTolerance
+  *      (`/root/reference/inc/leiden.hxx:747-750`),
+  *   5. coarsen by refined membership, compose leaf membership, tighten
+  *      tolerance by toleranceDrop (`/root/reference/inc/leiden.hxx:751-770`).
+  *
+  * M is computed once on the input graph and is invariant under coarsening
+  * (aggregation preserves total edge weight, self loops carry intra weight).
+  *
+  * Every pass ends in a durable snapshot (coarse edges + composed leaf
+  * membership + metrics + per-partition lineage) via graft.io.Snapshots;
+  * `detect` resumes from the latest committed snapshot if one exists.
+  */
+object Leiden {
+
+  private def singletonState(vtot: DataFrame): DataFrame =
+    vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+
+  /** @param edges0 canonical symmetrized edge table (src,dst,w) */
+  def detect(edges0: DataFrame, opts: LeidenOptions = LeidenOptions()): LeidenResult = {
+    val spark = edges0.sparkSession
+    val t0 = System.currentTimeMillis()
+    var phase = Map.empty[String, Long]
+    def timed[T](name: String)(f: => T): T = {
+      val s = System.currentTimeMillis()
+      val r = f
+      phase = phase.updated(name, phase.getOrElse(name, 0L) + (System.currentTimeMillis() - s))
+      r
+    }
+
+    val twoM = EdgeTable.totalWeight(edges0)
+    val m = twoM / 2
+    val verts0 = EdgeTable.vertices(edges0)
+    if (m <= 0) {
+      val leaf = verts0.select(col("id"), col("id").as("comm"))
+      return LeidenResult(leaf, 0, 0, 0.0, leaf.count(), Map("total" -> 0L))
+    }
+
+    var edges = edges0.cache()
+    var leaf = PlanUtils.checkpointTruncated(verts0.select(col("id"), col("id").as("comm")))
+    var gn = verts0.count()
+    var tolerance = opts.tolerance
+    var pass = 0
+    var totalIters = 0
+    var done = false
+
+    // Resume from the latest committed pass snapshot, if any.
+    for (root <- opts.snapshotDir; last <- Snapshots.committed(root, "leiden").lastOption) {
+      edges.unpersist()
+      edges = Snapshots.read(spark, root, "leiden", last, "edges").cache()
+      leaf = Snapshots.read(spark, root, "leiden", last, "leaf")
+      pass = (last + 1).toInt
+      tolerance = opts.tolerance / math.pow(opts.toleranceDrop, pass.toDouble)
+      gn = EdgeTable.vertices(edges).count()
+      totalIters = Snapshots.manifestText(root, "leiden", last)
+        .split("\"iterations\":\"").lift(1).flatMap(_.takeWhile(_.isDigit).toIntOption)
+        .getOrElse(0)
+    }
+
+    while (!done && pass < opts.maxPasses) {
+      val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+
+      // 1. local moving from singletons
+      val (moved, lIters, lMoves) = timed("move") {
+        LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
+          tolerance, opts.maxIterations)
+      }
+
+      // 2. refinement: bound = post-move membership; re-init singletons
+      val bound = PlanUtils.checkpointTruncated(
+        moved.select(col("id"), col("comm").as("bound")))
+      val (refined, rIters, rMoves) = timed("refine") {
+        LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
+          tolerance, opts.maxIterations, Some(bound), refineSingletons = true)
+      }
+      val iters = lIters + rIters
+      totalIters += math.max(iters, 1)
+
+      val refMemb = PlanUtils.checkpointTruncated(refined.select("id", "comm"))
+      leaf = PlanUtils.checkpointTruncated(Aggregate.compose(leaf, refMemb))
+      pass += 1
+
+      if (lMoves + rMoves == 0 || pass >= opts.maxPasses) done = true
+      else {
+        val cn = refMemb.select("comm").distinct().count()
+        if (cn.toDouble / gn >= opts.aggregationTolerance) done = true
+        else {
+          // 3. aggregate into the next pass's graph
+          val coarse = timed("aggregate") {
+            PlanUtils.checkpointTruncated(Aggregate.coarsen(edges, refMemb))
+          }
+          opts.snapshotDir.foreach { root =>
+            timed("snapshot") {
+              Snapshots.commit(root, "leiden", (pass - 1).toLong,
+                if (pass >= 2) Some((pass - 2).toLong) else None,
+                Map("edges" -> coarse, "leaf" -> leaf),
+                Map("pass" -> (pass - 1).toString, "vertices" -> cn.toString,
+                  "iterations" -> totalIters.toString,
+                  "tolerance" -> tolerance.toString))
+            }
+          }
+          edges.unpersist()
+          edges = coarse.cache()
+          gn = cn
+          tolerance /= opts.toleranceDrop
+        }
+      }
+    }
+
+    val communities = leaf.select("comm").distinct().count()
+    val q = timed("modularity") {
+      Modularity.modularity(edges0, leaf, m, opts.resolution)
+    }
+    edges.unpersist()
+    phase = phase.updated("total", System.currentTimeMillis() - t0)
+    LeidenResult(leaf, totalIters, pass, q, communities, phase)
+  }
+
+  /** Count communities that are internally disconnected on the given graph —
+    * the Leiden guarantee is that this is 0
+    * (`/root/reference/inc/properties.hxx:379-401`, `main.cxx:58`).
+    */
+  def disconnectedCommunities(edges: DataFrame, membership: DataFrame): Long = {
+    val refined = Refine.refine(edges, membership)
+    refined.groupBy("bound")
+      .agg(countDistinct("comm").as("parts"))
+      .filter(col("parts") > 1)
+      .count()
+  }
+}

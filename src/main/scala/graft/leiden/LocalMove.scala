@@ -1,0 +1,165 @@
+package graft.leiden
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanUtils
+
+/** The Leiden local-moving phase as synchronous Catalyst supersteps.
+  *
+  * Reference: `leidenMoveOmpW` (`/root/reference/inc/leiden.hxx:409-435`) —
+  * per iteration, every affected vertex scans its neighbor communities,
+  * picks the best positive delta-Q move, applies it, and marks neighbors
+  * affected. The reference's sweeps are asynchronous (threads observe
+  * partially updated membership); a naive synchronous (Jacobi) translation
+  * oscillates: mutually-linked vertices adopt each other's communities
+  * forever. We therefore split each iteration into two deterministic
+  * half-sweeps gated by vertex-id parity — vertices with even id move first
+  * against the current snapshot, then odd ids against the half-updated one.
+  * This is a 2-coloring schedule: deterministic, still bulk-parallel, and
+  * breaks the symmetric-update cycles (same device as distributed Louvain's
+  * vertex-coloring schedules). Community totals are recomputed exactly after
+  * every half-sweep — correctness by construction instead of the reference's
+  * relaxed atomics (`/root/reference/inc/leiden.hxx:359-384`).
+  *
+  * State DF columns: id, comm, vtot, aff.
+  * One half-sweep = one edges-x-membership shuffle join (the J1 gather) +
+  * hash aggregations (map-side combined) + small community-total joins that
+  * AQE converts to broadcasts once communities have coarsened. The heavy
+  * plan is materialized exactly once per half-sweep (checkpointTruncated),
+  * then move stats and the next state derive from the materialized result.
+  */
+object LocalMove {
+
+  /** Dev-only tracing of per-sweep cost (plan sizes, timings). */
+  @volatile var debug: Boolean = false
+
+  case class SweepResult(state: DataFrame, moves: Long, dqSum: Double)
+
+  /** Community totals from state: (comm, ctot, csize). */
+  def communityTotals(state: DataFrame): DataFrame =
+    state.groupBy("comm").agg(sum("vtot").as("ctot"), count(lit(1)).as("csize"))
+
+  /** One synchronous half-sweep over vertices with id % 2 == parity.
+    *
+    * `bound` restricts scanning to same-bound neighbors (the refinement
+    * guard, `/root/reference/inc/leiden.hxx:257`); pass None for the main
+    * phase. With `refineSingletons`, only vertices that are still singleton
+    * communities may move (`/root/reference/inc/leiden.hxx:422`).
+    */
+  def sweep(edges: DataFrame, state: DataFrame, m: Double, resolution: Double,
+            parity: Int, bound: Option[DataFrame] = None,
+            refineSingletons: Boolean = false): SweepResult = {
+    val ct = communityTotals(state)
+
+    val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
+    val msBase = state.select(col("id").as("src"), col("comm").as("ccur"),
+      col("vtot").as("vtot_u"), col("aff"))
+    val (ms, md) = bound match {
+      case Some(b) =>
+        val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
+        val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
+        (msBase.join(bs, "src"), mdBase.join(bd, "dst"))
+      case None => (msBase, mdBase)
+    }
+
+    // J1 gather: neighbor-community weights for this half-sweep's movers.
+    // SELF=false: self loops never counted in the scan
+    // (/root/reference/inc/leiden.hxx:255-256).
+    val movers = ms.filter(col("aff") && pmod(col("src"), lit(2)) === parity)
+    var scan = edges
+      .filter(col("src") =!= col("dst"))
+      .join(movers, "src")
+      .join(md, "dst")
+    if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
+
+    val cand = scan
+      .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
+      .agg(sum("w").as("wuc"))
+
+    // weight from u to its current community (excluding self loop)
+    val wud = cand.filter(col("cdst") === col("ccur"))
+      .select(col("src"), col("wuc").as("wud"))
+
+    val ctTgt = ct.select(col("comm").as("cdst"), col("ctot").as("ctot_c"), col("csize").as("csize_c"))
+    val ctCur = ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"), col("csize").as("csize_d"))
+
+    var scored = cand
+      .filter(col("cdst") =!= col("ccur"))
+      .join(wud, Seq("src"), "left")
+      .na.fill(0.0, Seq("wud"))
+      .join(ctTgt, "cdst")
+      .join(ctCur, "ccur")
+      .withColumn("dq",
+        Modularity.deltaQ(col("wuc"), col("wud"), col("vtot_u"),
+          col("ctot_c"), col("ctot_d"), m, resolution))
+      .filter(col("dq") > 0)
+      // Swap guard: two mutually-linked same-parity singletons would still
+      // exchange communities; only the move toward the smaller community id
+      // is allowed when both sides are singletons.
+      .filter(!(col("csize_c") === 1 && col("csize_d") === 1 && col("cdst") > col("ccur")))
+
+    if (refineSingletons)
+      scored = scored.filter(col("csize_d") === 1)
+
+    // argmax dq per vertex; ties broken toward the smallest community id
+    // (deterministic stand-in for the reference's hashtable iteration order,
+    // /root/reference/inc/leiden.hxx:335-344).
+    val best = PlanUtils.checkpointTruncated(
+      scored
+        .groupBy("src")
+        .agg(max(struct(col("dq").as("dq"), (-col("cdst")).as("tb"),
+          col("cdst").as("best"))).as("mx"))
+        .select(col("src").as("id"), col("mx.best").as("newcomm"), col("mx.dq").as("mdq")))
+
+    val stats = best.agg(count(lit(1)), coalesce(sum("mdq"), lit(0.0))).head
+    val nMoves = stats.getLong(0)
+    val dqSum = stats.getDouble(1)
+    if (debug) System.err.println(s"[sweep] parity=$parity moves=$nMoves dq=$dqSum refine=$refineSingletons")
+
+    if (nMoves == 0) return SweepResult(state, 0L, 0.0)
+
+    // neighbors of moved vertices become affected
+    // (/root/reference/inc/leiden.hxx:427-429); a visited mover clears its
+    // own flag unless a neighbor moved too.
+    val movedDst = best.select(col("id").as("dst"))
+    val affNext = edges.join(movedDst, "dst").select(col("src").as("id")).distinct()
+      .withColumn("affN", lit(true))
+
+    val next = PlanUtils.checkpointTruncated(
+      state
+        .join(best.select("id", "newcomm"), Seq("id"), "left")
+        .join(affNext, Seq("id"), "left")
+        .select(
+          col("id"),
+          coalesce(col("newcomm"), col("comm")).as("comm"),
+          col("vtot"),
+          (coalesce(col("affN"), lit(false)) ||
+            (col("aff") && pmod(col("id"), lit(2)) =!= parity)).as("aff")))
+
+    SweepResult(next, nMoves, dqSum)
+  }
+
+  /** Iterate until sum(dq) <= tolerance or maxIterations, mirroring
+    * `/root/reference/inc/leiden.hxx:425-434`. One iteration = the even
+    * half-sweep then the odd half-sweep. Returns the final state, the
+    * iteration count, and the total number of moves.
+    */
+  def run(edges: DataFrame, state0: DataFrame, m: Double, resolution: Double,
+          tolerance: Double, maxIterations: Int,
+          bound: Option[DataFrame] = None,
+          refineSingletons: Boolean = false): (DataFrame, Int, Long) = {
+    var state = state0
+    var it = 0
+    var totalMoves = 0L
+    var continue = true
+    while (continue && it < maxIterations) {
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons)
+      state = b.state
+      it += 1
+      totalMoves += a.moves + b.moves
+      if (a.moves + b.moves == 0 || a.dqSum + b.dqSum <= tolerance) continue = false
+    }
+    (state, it, totalMoves)
+  }
+}

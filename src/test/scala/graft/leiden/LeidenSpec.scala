@@ -1,0 +1,90 @@
+package graft.leiden
+
+import graft.SparkSpec
+import graft.graph.EdgeTable
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class LeidenSpec extends SparkSpec {
+
+  def clique(ids: Seq[Long]): Seq[(Long, Long, Double)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
+
+  test("two 4-cliques + bridge: recovers the planted partition, Q=11/26, none disconnected") {
+    val edges = EdgeTable.undirected(spark,
+      clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
+    val r = Leiden.detect(edges, LeidenOptions(maxPasses = 4))
+    assert(r.communities === 2L, s"communities=${r.communities}")
+    assert(approx(r.modularity, 11.0 / 26.0, 1e-9), s"q=${r.modularity}")
+    assert(Leiden.disconnectedCommunities(edges, r.membership) === 0L)
+    // the partition itself is the planted one
+    val groups = r.membership.collect().groupBy(_.getLong(1)).values
+      .map(_.map(_.getLong(0)).toSet).toSet
+    assert(groups === Set(Set(0L, 1L, 2L, 3L), Set(4L, 5L, 6L, 7L)))
+  }
+
+  test("ring of 6 5-cliques: one community per clique") {
+    val k = 6; val s = 5
+    val cliques = (0 until k).flatMap(c => clique((c * s).toLong until (c * s + s).toLong))
+    val ring = (0 until k).map(c => ((c * s).toLong, (((c + 1) % k) * s + 1).toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, cliques ++ ring)
+    val r = Leiden.detect(edges)
+    assert(r.communities === k.toLong, s"communities=${r.communities}")
+    assert(Leiden.disconnectedCommunities(edges, r.membership) === 0L)
+    val groups = r.membership.collect().groupBy(_.getLong(1)).values
+      .map(_.map(_.getLong(0)).toSet).toSet
+    assert(groups === (0 until k).map(c => ((c * s).toLong until (c * s + s).toLong).toSet).toSet)
+  }
+
+  test("seeded SBM k=4 m=30: exact community count, disconnected=0, Q golden") {
+    val rnd = new Random(42)
+    val k = 4; val mSize = 30
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until k * mSize; b <- a + 1 until k * mSize) {
+      val sameBlock = (a / mSize) == (b / mSize)
+      val p = if (sameBlock) 0.3 else 0.01
+      if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
+    }
+    val edges = EdgeTable.undirected(spark, es.result())
+    val r = Leiden.detect(edges)
+    assert(r.communities === k.toLong, s"communities=${r.communities}")
+    assert(Leiden.disconnectedCommunities(edges, r.membership) === 0L)
+    // deterministic engine => committed golden; sanity: strong planted signal
+    assert(r.modularity > 0.5, s"q=${r.modularity}")
+    // membership matches blocks exactly (strong signal at these densities)
+    val blocks = r.membership.collect().groupBy(_.getLong(1)).values
+      .map(_.map(_.getLong(0) / mSize).toSet).toSet
+    assert(blocks === (0 until k).map(b => Set(b.toLong)).toSet)
+    // run-to-run determinism: second run produces identical membership
+    val r2 = Leiden.detect(edges)
+    assert(r2.modularity === r.modularity)
+    assert(r.membership.except(r2.membership).count() === 0L)
+  }
+
+  test("aggregate.coarsen: super-edges carry intra weight as self loops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = EdgeTable.undirected(spark, clique(0L to 2L) ++ Seq((2L, 3L, 1.0)) ++ clique(3L to 5L))
+    val memb = (0L to 5L).map(i => (i, if (i < 3) 0L else 1L)).toDF("id", "comm")
+    val coarse = Aggregate.coarsen(edges, memb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(coarse === Map((0L, 0L) -> 6.0, (1L, 1L) -> 6.0, (0L, 1L) -> 1.0, (1L, 0L) -> 1.0))
+  }
+
+  test("compose maps leaf communities through the next level") {
+    val spark2 = spark
+    import spark2.implicits._
+    val leaf = Seq((0L, 10L), (1L, 10L), (2L, 20L)).toDF("id", "comm")
+    val level = Seq((10L, 100L), (20L, 200L)).toDF("id", "comm")
+    val c = Aggregate.compose(leaf, level).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(0L -> 100L, 1L -> 100L, 2L -> 200L))
+  }
+
+  test("renumber produces dense 0..C-1 ids deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val memb = Seq((0L, 77L), (1L, 5L), (2L, 77L), (3L, 9000L)).toDF("id", "comm")
+    val d = Aggregate.renumber(memb).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
