@@ -1,0 +1,82 @@
+package graft
+
+import graft.graph.EdgeTable
+import graft.leiden.{Leiden, LeidenOptions}
+import graft.algo.{Components, LabelProp, PageRank, Triangles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point (BASELINE.json north_rule: "run via
+  * spark-submit on a multi-executor cluster").
+  *
+  * Usage:
+  *   spark-submit --class graft.Cli graft.jar <algo> [options]
+  *     algo               leiden | pagerank | cc | lpa | triangles
+  *     --edges PATH       parquet edge table (src,dst,w); symmetrized here
+  *     --fixture N        or: deterministic seeded web-ish graph, N vertices
+  *     --sketch K         leiden: Misra-Gries slots (0 = exact scan)
+  *     --snapshot DIR     leiden: per-pass checkpoint dir (resume-aware)
+  *     --out PATH         write result parquet (default: print summary only)
+  *
+  * The fixture is a preferential-attachment-style graph built
+  * deterministically per edge from hashes (no RNG state), so any two runs —
+  * and any two cluster sizes — see byte-identical input.
+  */
+object Cli {
+
+  def fixtureEdges(spark: SparkSession, n: Long, avgDeg: Int = 8): DataFrame = {
+    // dst skewed toward low ids: dst = floor(u01^3 * src); hub-heavy like a
+    // web graph. Deterministic: hash of (src, k).
+    val e = spark.range(1L, n).selectExpr("id as src")
+      .crossJoin(spark.range(avgDeg.toLong).selectExpr("id as k"))
+      .select(col("src"),
+        floor(pow(pmod(hash(col("src"), col("k")), lit(1000000)).cast("double") / 1e6, 3.0)
+          * col("src")).cast("long").as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"), lit(1.0).as("w"))
+    EdgeTable.symmetrize(EdgeTable.dedup(e))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val algo = args.headOption.getOrElse("leiden")
+    val opts = args.drop(1).sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(
+      SparkSession.builder().master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")),
+      cpus.toInt, s"graft-$algo")
+
+    val edges = opts.get("--edges") match {
+      case Some(path) => EdgeTable.symmetrize(EdgeTable.dedup(
+        spark.read.parquet(path).select(
+          col("src").cast("long"), col("dst").cast("long"),
+          coalesce(col("w"), lit(1.0)).cast("double").as("w"))))
+      case None => fixtureEdges(spark, opts.getOrElse("--fixture", "10000").toLong)
+    }
+    val t0 = System.currentTimeMillis()
+    val (result, summary): (DataFrame, String) = algo match {
+      case "leiden" =>
+        val r = Leiden.detect(edges, LeidenOptions(
+          sketchSlots = opts.getOrElse("--sketch", "0").toInt,
+          snapshotDir = opts.get("--snapshot")))
+        (r.membership, s"communities=${r.communities} modularity=${r.modularity} " +
+          s"iterations=${r.iterations} passes=${r.passes} phaseMillis=${r.phaseMillis}")
+      case "pagerank" =>
+        val pr = PageRank.run(edges)
+        (pr, s"n=${pr.count()} sum=${pr.agg(sum("rank")).head.getDouble(0)}")
+      case "cc" =>
+        val cc = Components.connectedComponents(edges, EdgeTable.vertices(edges))
+        (cc, s"components=${Components.componentCount(cc)}")
+      case "lpa" =>
+        val l = LabelProp.run(edges)
+        (l, s"labels=${l.select("label").distinct().count()}")
+      case "triangles" =>
+        val pv = Triangles.perVertex(edges)
+        (pv, s"triangles=${Triangles.globalCount(edges)}")
+      case other => sys.error(s"unknown algo '$other' (leiden|pagerank|cc|lpa|triangles)")
+    }
+    opts.get("--out").foreach(p => result.write.mode("overwrite").parquet(p))
+    val secs = (System.currentTimeMillis() - t0) / 1000.0
+    println(s"""{"algo":"$algo","seconds":$secs,"edges":${edges.count()},"summary":"$summary"}""")
+    spark.stop()
+  }
+}

@@ -80,7 +80,7 @@ object Leiden {
       // 1. local moving from singletons
       val (moved, lIters, lMoves) = timed("move") {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
-          tolerance, opts.maxIterations)
+          tolerance, opts.maxIterations, sketchSlots = opts.sketchSlots)
       }
 
       // 2. refinement: bound = post-move membership; re-init singletons
@@ -88,7 +88,8 @@ object Leiden {
         moved.select(col("id"), col("comm").as("bound")))
       val (refined, rIters, rMoves) = timed("refine") {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
-          tolerance, opts.maxIterations, Some(bound), refineSingletons = true)
+          tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
+          sketchSlots = opts.sketchSlots)
       }
       val iters = lIters + rIters
       totalIters += math.max(iters, 1)

@@ -48,7 +48,7 @@ object LocalMove {
     */
   def sweep(edges: DataFrame, state: DataFrame, m: Double, resolution: Double,
             parity: Int, bound: Option[DataFrame] = None,
-            refineSingletons: Boolean = false): SweepResult = {
+            refineSingletons: Boolean = false, sketchSlots: Int = 0): SweepResult = {
     val ct = communityTotals(state)
 
     val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
@@ -72,13 +72,34 @@ object LocalMove {
       .join(md, "dst")
     if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
 
-    val cand = scan
-      .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
-      .agg(sum("w").as("wuc"))
-
-    // weight from u to its current community (excluding self loop)
-    val wud = cand.filter(col("cdst") === col("ccur"))
-      .select(col("src"), col("wuc").as("wud"))
+    // Exact path: one hash-agg state per distinct (vertex, neighbor
+    // community). Sketch path (sketchSlots > 0, the low-memory variants of
+    // /root/reference/inc/leidenLowmem.hxx:567-579): a bounded Misra-Gries
+    // buffer per vertex selects <= k candidate communities, then exact
+    // weights are recomputed only for the survivors (A7 re-scoring,
+    // /root/reference/inc/leidenLowmem.hxx:207-231) — caps aggregation
+    // state for hub vertices whose neighbors span millions of communities.
+    val (cand, wud) =
+      if (sketchSlots <= 0) {
+        val c = scan
+          .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
+          .agg(sum("w").as("wuc"))
+        // weight from u to its current community (excluding self loop)
+        (c, c.filter(col("cdst") === col("ccur")).select(col("src"), col("wuc").as("wud")))
+      } else {
+        val candPairs = scan
+          .groupBy(col("src"))
+          .agg(MGSketch.sketch(sketchSlots)(col("cdst"), col("w")).as("cands"))
+          .select(col("src"), explode(col("cands")).as("c"))
+          .select(col("src"), col("c.comm").as("cdst"))
+        val rescored = scan
+          .join(candPairs, Seq("src", "cdst"), "left_semi")
+          .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
+          .agg(sum("w").as("wuc"))
+        val w = scan.filter(col("cdst") === col("ccur"))
+          .groupBy(col("src")).agg(sum("w").as("wud"))
+        (rescored, w)
+      }
 
     val ctTgt = ct.select(col("comm").as("cdst"), col("ctot").as("ctot_c"), col("csize").as("csize_c"))
     val ctCur = ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"), col("csize").as("csize_d"))
@@ -147,14 +168,14 @@ object LocalMove {
   def run(edges: DataFrame, state0: DataFrame, m: Double, resolution: Double,
           tolerance: Double, maxIterations: Int,
           bound: Option[DataFrame] = None,
-          refineSingletons: Boolean = false): (DataFrame, Int, Long) = {
+          refineSingletons: Boolean = false, sketchSlots: Int = 0): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
     var continue = true
     while (continue && it < maxIterations) {
-      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons)
-      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons)
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots)
       state = b.state
       it += 1
       totalMoves += a.moves + b.moves

@@ -1,0 +1,79 @@
+package graft.algo
+
+import graft.SparkSpec
+import graft.graph.EdgeTable
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class AlgoSpec extends SparkSpec {
+
+  def clique(ids: Seq[Long]): Seq[(Long, Long, Double)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
+
+  test("pagerank: cycle is uniform, ranks sum to 1 (F4)") {
+    val n = 8
+    val cyc = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, 1.0))
+    val edges = EdgeTable.of(spark, cyc)
+    val pr = PageRank.run(edges).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v => assert(approx(v, 1.0 / n, 1e-9)))
+    assert(approx(pr.values.sum, 1.0, 1e-9))
+  }
+
+  test("pagerank: seeded random digraph matches sequential oracle to 1e-6 (F4)") {
+    val rnd = new Random(42)
+    val es = (for (a <- 0 until 34; b <- 0 until 34 if a != b && rnd.nextDouble() < 0.12)
+      yield (a.toLong, b.toLong, 1.0 + rnd.nextInt(3).toDouble))
+    val edges = EdgeTable.of(spark, es)
+    val got = PageRank.run(edges).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = PageRank.sequential(es)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"vertex $k: $v vs ${want(k)}") }
+    assert(approx(got.values.sum, 1.0, 1e-9))
+  }
+
+  test("connected components: forest of 3 trees gets min-id labels (F4)") {
+    val es = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), // tree A
+      (10L, 11L, 1.0), // tree B
+      (20L, 21L, 1.0), (21L, 22L, 1.0), (22L, 23L, 1.0)) // tree C
+    val edges = EdgeTable.undirected(spark, es)
+    val cc = Components.connectedComponents(edges, EdgeTable.vertices(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    assert(Components.componentCount(
+      Components.connectedComponents(edges, EdgeTable.vertices(edges))) === 3L)
+  }
+
+  test("label propagation: two cliques + bridge split into two label groups") {
+    val edges = EdgeTable.undirected(spark,
+      clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
+    val labels = LabelProp.run(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).map(labels).toSet.size === 1)
+    assert((4L to 7L).map(labels).toSet.size === 1)
+    assert(labels(0L) !== labels(7L))
+  }
+
+  test("triangles: two K4 + bridge = 8 triangles, 3 per clique vertex; cycle has 0 (F4)") {
+    val edges = EdgeTable.undirected(spark,
+      clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
+    assert(Triangles.globalCount(edges) === 8L)
+    val pv = Triangles.perVertex(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 7L).foreach(v => assert(pv(v) === 3L, s"vertex $v"))
+    val cyc = EdgeTable.undirected(spark, (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong, 1.0)))
+    assert(Triangles.globalCount(cyc) === 0L)
+  }
+
+  test("triangles: brute-force oracle on a seeded graph (F4)") {
+    val rnd = new Random(7)
+    val n = 20
+    val pairs = for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.3)
+      yield (a.toLong, b.toLong, 1.0)
+    val edges = EdgeTable.undirected(spark, pairs)
+    val adj = pairs.map(p => (p._1, p._2)).toSet
+    def has(a: Long, b: Long) = adj.contains((math.min(a, b), math.max(a, b)))
+    var brute = 0L
+    for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (has(a, b) && has(b, c) && has(a, c)) brute += 1
+    assert(Triangles.globalCount(edges) === brute)
+  }
+}

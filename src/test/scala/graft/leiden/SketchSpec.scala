@@ -1,0 +1,52 @@
+package graft.leiden
+
+import graft.SparkSpec
+import graft.graph.EdgeTable
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  test("MG k=2 hand-traced: eviction via decrement-all (F5)") {
+    // (1,5): insert; (2,3): insert; (3,4): full -> subtract 4 from all
+    val got = MGSketch.sequential(2, Seq((1L, 5.0), (2L, 3.0), (3L, 4.0)))
+    assert(got === Seq(MGSketch.Cand(1L, 1.0)))
+  }
+
+  test("MG k=2 hand-traced: re-insert after a slot zeroes out (F5)") {
+    // (1,5),(2,5),(3,5): both slots -> 0; (4,2) inserts into emptied slot
+    val got = MGSketch.sequential(2, Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 2.0)))
+    assert(got.map(_.comm).toSet === Set(4L))
+  }
+
+  test("MG k=1 behaves as weighted majority filter (F5)") {
+    // majority weight on 7 -> must survive
+    val got = MGSketch.sequential(1, Seq((3L, 1.0), (7L, 4.0), (5L, 1.0), (7L, 3.0)))
+    assert(got.map(_.comm) === Seq(7L))
+  }
+
+  test("heavy hitter survives distributed merge (contract: survivors ⊇ >1/(k+1) share)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // community 100 holds 60% of total weight; 300 minor communities share the rest
+    val major = (1 to 120).map(i => (1L, 100L, 5.0))
+    val minor = (1 to 300).map(i => (1L, 200L + i, 400.0 / 300))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(major ++ minor), 8)
+      .toDF("src", "comm", "w")
+    val out = df.groupBy("src")
+      .agg(MGSketch.sketch(8)(col("comm"), col("w")).as("cands"))
+      .select(explode(col("cands")).as("c")).select(col("c.comm"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(100L), s"survivors=$out")
+  }
+
+  test("low-mem Leiden (k=64 and k=1) recovers the same partition as exact on cliques") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
+    val edges = EdgeTable.undirected(spark,
+      clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
+    for (k <- Seq(64, 1)) {
+      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k))
+      assert(r.communities === 2L, s"k=$k communities=${r.communities}")
+      assert(approx(r.modularity, 11.0 / 26.0, 1e-9), s"k=$k q=${r.modularity}")
+    }
+  }
+}
