@@ -45,7 +45,7 @@ object Cli {
       SparkSession.builder().master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")),
       cpus.toInt, s"graft-$algo")
 
-    val edges = opts.get("--edges") match {
+    lazy val edges = opts.get("--edges") match {
       case Some(path) => EdgeTable.symmetrize(EdgeTable.dedup(
         spark.read.parquet(path).select(
           col("src").cast("long"), col("dst").cast("long"),
@@ -72,11 +72,34 @@ object Cli {
       case "triangles" =>
         val pv = Triangles.perVertex(edges)
         (pv, s"triangles=${Triangles.globalCount(edges)}")
-      case other => sys.error(s"unknown algo '$other' (leiden|pagerank|cc|lpa|triangles)")
+      case "stream-demo" =>
+        // watermarked windowed aggregation over a two-arrival file stream
+        val evPath = opts.getOrElse("--events", "/root/testdata/sf0.001/events.parquet")
+        val ev = spark.read.parquet(evPath).cache()
+        val srcDir = java.nio.file.Files.createTempDirectory("graftstream").toString
+        val mid = ev.agg(percentile_approx(col("ts"), lit(0.5), lit(1000)))
+          .head.getAs[java.time.LocalDateTime](0)
+        ev.filter(col("ts") <= lit(mid)).write.mode("append").parquet(srcDir)
+        val q = graft.streaming.EventStreams.windowedCountsStream(
+            spark.readStream.schema(ev.schema).parquet(srcDir).toDF(), "1 hour", "30 minutes")
+          .writeStream.outputMode("append").format("memory").queryName("cliwin")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+          .start()
+        q.processAllAvailable()
+        ev.filter(col("ts") > lit(mid)).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        val emitted = spark.table("cliwin")
+        val n = emitted.count()
+        val wm = Option(q.lastProgress).map(_.eventTime.get("watermark")).orNull
+        q.stop()
+        (emitted, s"emittedWindows=$n watermark=$wm batchWindows=${
+          graft.streaming.EventStreams.windowedCounts(ev, "1 hour").count()}")
+      case other => sys.error(s"unknown algo '$other' (leiden|pagerank|cc|lpa|triangles|stream-demo)")
     }
     opts.get("--out").foreach(p => result.write.mode("overwrite").parquet(p))
     val secs = (System.currentTimeMillis() - t0) / 1000.0
-    println(s"""{"algo":"$algo","seconds":$secs,"edges":${edges.count()},"summary":"$summary"}""")
+    val edgeCount = if (algo == "stream-demo") 0L else edges.count()
+    println(s"""{"algo":"$algo","seconds":$secs,"edges":$edgeCount,"summary":"$summary"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Brute-force exact cosine top-k as the correctness baseline; a
+  * hyperplane-LSH bucketed variant as the scale path (candidates bounded by
+  * bucket joins instead of a full cross product). Dot products are pure
+  * column expressions (zip_with + aggregate — codegen, no UDF); all
+  * "random" hyperplanes derive from xxhash64 with literal seeds, so
+  * signatures are deterministic across runs and cluster sizes.
+  */
+object Ann {
+
+  /** Dot product of two array<float/double> columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param queries (qid, qvec) — expected small (broadcast side)
+    * @param corpus  (id, vec)
+    * @return (qid, id, rank, cosine), rank 1..k, ties broken by smaller id
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cosine")
+  }
+
+  /** Deterministic hyperplane sign bits: plane p's component d is a
+    * pseudo-gaussian-ish value derived from xxhash64(p, d). Signature =
+    * `planes` sign bits packed into a long.
+    */
+  def lshSignature(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => acc * lit(2L) + when(
+        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, d) => v.cast("double") *
+            ((pmod(xxhash64(p, d), lit(2000001L)) - lit(1000000L)).cast("double") / 1e6)),
+          lit(0.0), (a, x) => a + x) > 0,
+        lit(1L)).otherwise(lit(0L)))
+
+  /** LSH-bucketed approximate top-k: vectors sharing any of `tables`
+    * signature bands become candidates; exact cosine re-scores candidates.
+    * Recall grows with tables; cost stays an equi-join on bucket keys.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 16, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = planes / tables
+    def buckets(df: DataFrame, idc: String, vc: String) =
+      df.select(col(idc), col(vc),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              shiftright(lshSignature(col(vc), planes), t * rows)
+                .bitwiseAND(lit((1L << rows) - 1)).as("bk"))): _*)).as("b"))
+        .select(col(idc), col(vc), col("b.t"), col("b.bk"))
+    val qb = buckets(queries, "qid", "qvec")
+    val cb = buckets(corpus, "id", "vec")
+    val cand = qb.join(cb, Seq("t", "bk"))
+      .filter(col("qid") =!= col("id"))
+      .select("qid", "qvec", "id", "vec").distinct()
+    val scored = cand.select(col("qid"), col("id"),
+      cosine(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * blocking + exact verification. (a, b, cosine), a < b.
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         planes: Int = 16, tables: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = planes / tables
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            shiftright(lshSignature(col(vecCol), planes), t * rows)
+              .bitwiseAND(lit((1L << rows) - 1)).as("bk"))): _*)).as("bb"))
+      .select(col("id"), col("vec"), col("bb.t"), col("bb.bk"))
+    b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.vec"), col("y.vec")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.8) — these are the
+  * training-pipeline streaming utilities: watermarked windowed aggregation
+  * and custom sessionization state. Each transform is defined on a plain
+  * DataFrame so the same code runs in batch (for the DuckDB oracle) and
+  * under readStream (tested with the memory sink).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. Works identically on
+    * batch and streaming inputs; callers add withWatermark for streams.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming variant with a watermark (late data beyond `late` dropped). */
+  def windowedCountsStream(events: DataFrame, windowLen: String = "1 hour",
+                           late: String = "30 minutes"): DataFrame =
+    // parquet timestamps surface as TIMESTAMP_NTZ; event-time watermarks
+    // require TIMESTAMP
+    windowedCounts(events.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", late), windowLen)
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, n_events: Int, start_ms: Long, end_ms: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a user's session
+    * closes after `gapMs` of silence (processing-time timeout drives
+    * emission in streams).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(s.copy(n_events = s.n_events + 1, end_ms = t))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(Session(uid, 1, t, t))
+                case None =>
+                  cur = Some(Session(uid, 1, t, t))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at training-data scale: MinHash+LSH and SimHash.
+  * All hashing is derived deterministically from xxhash64 with literal
+  * seeds — no RNG state, so any two runs (and any two cluster sizes)
+  * produce identical signatures.
+  */
+object NearDup {
+
+  /** MinHash signature: for hash function i, min over the shingle set of
+    * xxhash64(shingle, i). Returns array<long> of length `numHashes`.
+    */
+  def minHash(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** MinHash + banded LSH candidate pairs.
+    *
+    * Signature of `numHashes` minhashes split into `bands` bands; docs
+    * sharing any band signature become candidates (the standard
+    * shingle->minhash->band->bucket-join pipeline); candidates are verified
+    * with exact shingle-set Jaccard and filtered by `threshold`.
+    *
+    * Scale shape: the bucket join is an equi-join on (band, bandHash) —
+    * shuffle by bucket, no cross join anywhere; giant buckets (boilerplate
+    * text) are capped by AQE skew splitting.
+    *
+    * @return (a, b, jaccard) with a < b, jaccard >= threshold
+    */
+  def minHashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.7,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val withSig = docs.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minHash(col("sh"), numHashes))
+    val buckets = withSig.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)).as("bh"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val sh = withSig.select(col("id"), col("sh"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum of
+    * (+1/-1) votes from bit j of each token's xxhash64. Pure column
+    * expression (O(64 * tokens) per row, whole-stage codegen).
+    */
+  def simHash(text: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      // shiftleft (not *2): packing the sign bit into bit 63 must wrap,
+      // ANSI multiplication would raise ARITHMETIC_OVERFLOW
+      (acc, j) => shiftleft(acc, 1).bitwiseOR(when(
+        aggregate(TextOps.tokens(text), lit(0L),
+          (a, t) => a + when(xxhash64(t, j) > 0, lit(1L)).otherwise(lit(-1L))) > 0,
+        lit(1L)).otherwise(lit(0L))))
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` bits, blocked by 16-bit
+    * chunks: two hashes within Hamming distance d < 4 share at least one of
+    * their 4 16-bit chunks exactly (pigeonhole), so the candidate join is an
+    * equi-join on (chunkIdx, chunkValue) — no cross join.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < 4, "chunk blocking assumes maxHamming < 4")
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+      .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

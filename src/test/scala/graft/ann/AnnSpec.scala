@@ -1,0 +1,63 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class AnnSpec extends SparkSpec {
+
+  def vecsDF(n: Int, dim: Int, seed: Int) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  def cos(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("brute-force top-k matches an in-test sequential scan") {
+    val df = vecsDF(60, 16, 1).cache()
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val got = Ann.bruteForceTopK(queries, corpus, 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val want = rows.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(rows(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1)
+      assert(got(q) === want, s"query $q")
+    }
+  }
+
+  test("LSH top-k achieves nonzero recall against brute force") {
+    val df = vecsDF(200, 16, 2).cache()
+    val queries = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Ann.bruteForceTopK(queries, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(queries, corpus, 5, planes = 16, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("cosine near-dup pairs find planted duplicates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(3)
+    val base = Array.fill(16)(rnd.nextFloat())
+    val nearly = base.clone(); nearly(0) += 0.001f
+    val vecs = Seq((0L, base), (1L, nearly)) ++
+      (2 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val pairs = Ann.cosineNearDupPairs(vecs.toDF("vec_id", "embedding"), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"pairs=$pairs")
+  }
+}

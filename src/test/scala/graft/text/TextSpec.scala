@@ -1,0 +1,83 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+
+  def docsDF = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the hat"),
+      (2L, "completely different words entirely here"),
+      (3L, "the cat sat on the mat"), // exact dup of 0
+      (4L, "le chat est sur le tapis et la table les chaises"))
+      .toDF("doc_id", "text")
+  }
+
+  test("token stats are exact") {
+    val q = TextOps.quality(docsDF).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    // doc 0: 22 chars, 6 tokens, stopword hits {the, the} -> 2
+    assert(q(0L) === ((22, 6, 2)))
+  }
+
+  test("exact dedup keeps smallest doc_id per text") {
+    val kept = TextOps.dedupExact(docsDF).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 4L))
+    val groups = TextOps.exactDupGroups(docsDF).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(0L) === 2L)
+  }
+
+  test("shingles: k=3 over 6 tokens yields 4 shingles") {
+    val sh = docsDF.filter(col("doc_id") === 0)
+      .select(TextOps.shingles(col("text"), 3).as("s")).head.getSeq[String](0)
+    assert(sh.toSet === Set("the cat sat", "cat sat on", "sat on the", "on the mat"))
+  }
+
+  test("ngram overlap: near-dup pair shares 3 of 5 shingles") {
+    val o = TextOps.ngramOverlap(docsDF, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // doc0 vs doc1 differ in last word: shingles {the cat sat, cat sat on, sat on the} shared
+    assert(o((0L, 1L)) === ((3L, 5L)))
+    assert(o((0L, 3L)) === ((4L, 4L))) // identical docs
+  }
+
+  test("fingerprint: equal texts equal, different texts differ, stable across partitionings") {
+    val fp = docsDF.repartition(7).select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(3L))
+    assert(fp(0L) !== fp(1L))
+    val fp2 = docsDF.coalesce(1).select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp === fp2)
+  }
+
+  test("langId: french stopwords detected; no markers -> und") {
+    val lang = docsDF.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(4L) === "fr")
+    assert(lang(2L) === "und")
+    assert(lang(0L) === "en")
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact dup") {
+    val pairs = NearDup.minHashLshPairs(docsDF, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"pairs=$pairs") // jaccard 1.0
+    // (0,1) jaccard = 3/7 < 0.5 -> excluded even if bucketed together
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("simhash: identical texts distance 0, near texts close, far texts far") {
+    val sig = docsDF.select(col("doc_id"), NearDup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === sig(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)),
+      s"near=${ham(sig(0L), sig(1L))} far=${ham(sig(0L), sig(2L))}")
+  }
+}
