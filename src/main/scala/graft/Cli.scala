@@ -45,12 +45,14 @@ object Cli {
       SparkSession.builder().master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")),
       cpus.toInt, s"graft-$algo")
 
-    lazy val edges = opts.get("--edges") match {
-      case Some(path) => EdgeTable.symmetrize(EdgeTable.dedup(
+    lazy val edges = (opts.get("--edges"), opts.get("--mtx")) match {
+      case (Some(path), _) => EdgeTable.symmetrize(EdgeTable.dedup(
         spark.read.parquet(path).select(
           col("src").cast("long"), col("dst").cast("long"),
           coalesce(col("w"), lit(1.0)).cast("double").as("w"))))
-      case None => fixtureEdges(spark, opts.getOrElse("--fixture", "10000").toLong)
+      case (None, Some(mtx)) =>
+        EdgeTable.symmetrize(EdgeTable.dedup(graft.io.Mtx.read(spark, mtx)))
+      case _ => fixtureEdges(spark, opts.getOrElse("--fixture", "10000").toLong)
     }
     val t0 = System.currentTimeMillis()
     val (result, summary): (DataFrame, String) = algo match {

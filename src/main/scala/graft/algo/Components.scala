@@ -43,6 +43,7 @@ object Components {
         .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
           (col("nc").isNotNull && col("nc") < col("comp")).as("moved")))
       changed = next.filter(col("moved")).count()
+      PlanUtils.release(labels)
       labels = next.select("id", "comp")
       it += 1
     }

@@ -52,6 +52,7 @@ object PageRank {
               (coalesce(col("gath"), lit(0.0)) + lit(dangling / n))).as("rank")))
       delta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
         .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+      PlanUtils.release(ranks)
       ranks = next
       it += 1
     }

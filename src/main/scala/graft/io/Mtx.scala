@@ -1,0 +1,88 @@
+package graft.io
+
+import graft.graph.EdgeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MatrixMarket / SNAP edge-list readers (SURVEY.md §2.1 S1-S5).
+  *
+  * The reference parses MTX with a hand-rolled chunked parallel scanner
+  * (`/root/reference/inc/mtx.hxx:39-192`); Spark's split-parallel text scan
+  * provides the parallelism for free, so the reader is just header sniffing
+  * plus a columnar projection. Semantics preserved:
+  *   - 1-indexed vertex ids (kept as-is; ids are opaque Longs here),
+  *   - `%` comment lines skipped,
+  *   - missing weights read as 1 (`/root/reference/inc/mtx.hxx:128-134`),
+  *   - `symmetric` header emits both directions
+  *     (`/root/reference/inc/mtx.hxx:133,183`),
+  *   - duplicate (src,dst) resolved last-write-wins is the caller's choice
+  *     via EdgeTable.dedup/dedupLastSeq.
+  */
+object Mtx {
+
+  case class Header(rows: Long, cols: Long, nnz: Long, symmetric: Boolean, pattern: Boolean)
+
+  /** Sniff the MTX banner + size line (S1). Reads only the file head. */
+  def header(spark: SparkSession, path: String): Header = {
+    val head = spark.read.text(path).limit(64).collect().map(_.getString(0))
+    val banner = head.headOption.getOrElse("")
+    require(banner.startsWith("%%MatrixMarket"), s"not an mtx file: $banner")
+    val symmetric = banner.contains("symmetric")
+    val pattern = banner.contains("pattern")
+    val size = head.find(l => !l.startsWith("%") && l.trim.nonEmpty)
+      .getOrElse(sys.error("mtx: no size line"))
+    val parts = size.trim.split("\\s+")
+    Header(parts(0).toLong, parts(1).toLong, parts(2).toLong, symmetric, pattern)
+  }
+
+  /** Body scan (S2/S3): distributed text scan -> (src,dst,w). Mirrors
+    * symmetric files; vertex/edge predicates (S4) compose as .filter.
+    */
+  def read(spark: SparkSession, path: String, weighted: Boolean = true): DataFrame = {
+    val h = header(spark, path)
+    val body = spark.read.text(path)
+      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      // drop the size line: exactly 3 numeric fields equal to the header is
+      // indistinguishable from an edge, so skip the FIRST non-comment line
+      // by zipping an index per partition is overkill — instead filter it
+      // out by value match (rows cols nnz appears once).
+      .select(col("f").getItem(0).cast("long").as("src"),
+        col("f").getItem(1).cast("long").as("dst"),
+        when(lit(!weighted || h.pattern), lit(1.0))
+          .otherwise(coalesce(col("f").getItem(2).cast("double"), lit(1.0))).as("w"))
+    // remove the single size line (src=rows, dst=cols, w=nnz or 1)
+    val noSize = body.withColumn("__rn", monotonically_increasing_id())
+      .filter(!(col("src") === h.rows && col("dst") === h.cols && col("__rn") === 0))
+      .drop("__rn")
+    if (h.symmetric)
+      noSize.unionByName(noSize.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(noSize.filter(col("src") === col("dst")))
+    else noSize
+  }
+
+  /** SNAP-style whitespace edge list (S5): `u v [w]`, `#` comments. */
+  def readSnap(spark: SparkSession, path: String, weighted: Boolean = false,
+               limit: Option[Long] = None): DataFrame = {
+    val txt = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+    val lim = limit.fold(txt)(n => txt.limit(n.toInt))
+    lim.select(split(trim(col("value")), "\\s+").as("f"))
+      .select(col("f").getItem(0).cast("long").as("src"),
+        col("f").getItem(1).cast("long").as("dst"),
+        when(lit(!weighted), lit(1.0))
+          .otherwise(coalesce(col("f").getItem(2).cast("double"), lit(1.0))).as("w"))
+  }
+
+  /** Write a graph as MTX (general, real) — for interop tests. */
+  def write(edges: DataFrame, path: String): Unit = {
+    val n = EdgeTable.vertices(edges).agg(max("id")).head.getLong(0)
+    val rows = edges.select(concat_ws(" ",
+      col("src").cast("string"), col("dst").cast("string"), col("w").cast("string")))
+      .collect().map(_.getString(0))
+    val header = s"%%MatrixMarket matrix coordinate real general\n$n $n ${rows.length}\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      header + rows.mkString("\n") + "\n")
+  }
+}

@@ -157,6 +157,7 @@ object LocalMove {
           (coalesce(col("affN"), lit(false)) ||
             (col("aff") && pmod(col("id"), lit(2)) =!= parity)).as("aff")))
 
+    PlanUtils.release(best) // next is materialized; best's blocks are dead
     SweepResult(next, nMoves, dqSum)
   }
 
@@ -176,6 +177,10 @@ object LocalMove {
     while (continue && it < maxIterations) {
       val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots)
       val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots)
+      // drop the persisted blocks of superseded intermediate states
+      // (never the caller's state0 and never what we return)
+      if ((a.state ne state) && (a.state ne b.state)) PlanUtils.release(a.state)
+      if ((state ne state0) && (state ne b.state)) PlanUtils.release(state)
       state = b.state
       it += 1
       totalMoves += a.moves + b.moves

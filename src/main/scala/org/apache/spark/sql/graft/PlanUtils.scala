@@ -33,4 +33,23 @@ object PlanUtils {
     spark.internalCreateDataFrame(
       ck.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Unpersist the blocks behind a checkpointTruncated DataFrame that is no
+    * longer referenced — long iterative loops otherwise accumulate one set
+    * of persisted partitions per iteration for the life of the job. Safe on
+    * any DataFrame (walks the short post-truncation RDD lineage and
+    * unpersists whatever is persisted).
+    */
+  def release(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit = {
+      if (depth > 8) return
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+    }
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => walk(l.rdd, 0)
+      case _ => ()
+    }
+  }
 }
