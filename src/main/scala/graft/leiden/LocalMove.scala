@@ -62,15 +62,29 @@ object LocalMove {
       case None => (msBase, mdBase)
     }
 
+    // Movers carry their community's totals from the start: the per-vertex
+    // terms of delta-Q (wud, ctot_d) are CONSTANT across a vertex's
+    // candidates, so joining them onto the O(V) mover side up front lets
+    // the candidate scoring, swap guard, and argmax all happen in ONE
+    // aggregation — no wud self-join, no post-argmax community-total join.
+    var movers = ms.filter(col("aff") && pmod(col("src"), lit(2)) === parity)
+      .join(ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"),
+        col("csize").as("csize_d")), "ccur")
+    if (refineSingletons)
+      // REFINE: only still-singleton vertices scan at all
+      // (/root/reference/inc/leiden.hxx:422)
+      movers = movers.filter(col("csize_d") === 1)
+
     // J1 gather: neighbor-community weights for this half-sweep's movers.
     // SELF=false: self loops never counted in the scan
     // (/root/reference/inc/leiden.hxx:255-256).
-    val movers = ms.filter(col("aff") && pmod(col("src"), lit(2)) === parity)
     var scan = edges
       .filter(col("src") =!= col("dst"))
       .join(movers, "src")
       .join(md, "dst")
     if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
+
+    val grpKeys = Seq(col("src"), col("ccur"), col("vtot_u"), col("ctot_d"), col("csize_d"))
 
     // Exact path: one hash-agg state per distinct (vertex, neighbor
     // community). Sketch path (sketchSlots > 0, the low-memory variants of
@@ -79,58 +93,57 @@ object LocalMove {
     // weights are recomputed only for the survivors (A7 re-scoring,
     // /root/reference/inc/leidenLowmem.hxx:207-231) — caps aggregation
     // state for hub vertices whose neighbors span millions of communities.
-    val (cand, wud) =
-      if (sketchSlots <= 0) {
-        val c = scan
-          .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
-          .agg(sum("w").as("wuc"))
-        // weight from u to its current community (excluding self loop)
-        (c, c.filter(col("cdst") === col("ccur")).select(col("src"), col("wuc").as("wud")))
-      } else {
+    val cand =
+      if (sketchSlots <= 0)
+        scan.groupBy(grpKeys :+ col("cdst"): _*).agg(sum("w").as("wuc"))
+      else {
         val candPairs = scan
           .groupBy(col("src"))
           .agg(MGSketch.sketch(sketchSlots)(col("cdst"), col("w")).as("cands"))
           .select(col("src"), explode(col("cands")).as("c"))
           .select(col("src"), col("c.comm").as("cdst"))
-        val rescored = scan
-          .join(candPairs, Seq("src", "cdst"), "left_semi")
-          .groupBy(col("src"), col("ccur"), col("vtot_u"), col("cdst"))
-          .agg(sum("w").as("wuc"))
-        val w = scan.filter(col("cdst") === col("ccur"))
-          .groupBy(col("src")).agg(sum("w").as("wud"))
-        (rescored, w)
+        // survivors + the vertex's own community (its weight feeds wud)
+        scan.join(candPairs.unionByName(
+            scan.select(col("src"), col("ccur").as("cdst")).distinct()).distinct(),
+            Seq("src", "cdst"), "left_semi")
+          .groupBy(grpKeys :+ col("cdst"): _*).agg(sum("w").as("wuc"))
       }
 
     val ctTgt = ct.select(col("comm").as("cdst"), col("ctot").as("ctot_c"), col("csize").as("csize_c"))
-    val ctCur = ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"), col("csize").as("csize_d"))
 
-    var scored = cand
-      .filter(col("cdst") =!= col("ccur"))
-      .join(wud, Seq("src"), "left")
-      .na.fill(0.0, Seq("wud"))
+    // Per-candidate delta-Q part: dq = score_c - wud/M - R*vtot*(vtot-ctot_d)/(2M^2)
+    // with score_c = wuc/M - R*vtot*ctot_c/(2M^2). The subtraction is a
+    // per-vertex constant, so argmax over score_c == argmax over dq, with
+    // identical tie behavior.
+    val scored = cand
       .join(ctTgt, "cdst")
-      .join(ctCur, "ccur")
-      .withColumn("dq",
-        Modularity.deltaQ(col("wuc"), col("wud"), col("vtot_u"),
-          col("ctot_c"), col("ctot_d"), m, resolution))
-      .filter(col("dq") > 0)
-      // Swap guard: two mutually-linked same-parity singletons would still
-      // exchange communities; only the move toward the smaller community id
-      // is allowed when both sides are singletons.
-      .filter(!(col("csize_c") === 1 && col("csize_d") === 1 && col("cdst") > col("ccur")))
+      .withColumn("score",
+        col("wuc") / lit(m) -
+          lit(resolution) * col("vtot_u") * col("ctot_c") / lit(2 * m * m))
+      // Swap guard: two mutually-linked same-parity singletons would
+      // exchange communities forever; only the move toward the smaller
+      // community id is allowed when both sides are singletons.
+      .withColumn("eligible",
+        col("cdst") =!= col("ccur") &&
+          !(col("csize_c") === 1 && col("csize_d") === 1 && col("cdst") > col("ccur")))
 
-    if (refineSingletons)
-      scored = scored.filter(col("csize_d") === 1)
-
-    // argmax dq per vertex; ties broken toward the smallest community id
-    // (deterministic stand-in for the reference's hashtable iteration order,
-    // /root/reference/inc/leiden.hxx:335-344).
+    // One aggregation computes the argmax over eligible candidates (ties
+    // toward the smallest community id — deterministic stand-in for the
+    // reference's hashtable iteration order, /root/reference/inc/leiden.hxx:335-344)
+    // AND the weight to the vertex's current community (wud).
     val best = PlanUtils.checkpointTruncated(
       scored
-        .groupBy("src")
-        .agg(max(struct(col("dq").as("dq"), (-col("cdst")).as("tb"),
-          col("cdst").as("best"))).as("mx"))
-        .select(col("src").as("id"), col("mx.best").as("newcomm"), col("mx.dq").as("mdq")))
+        .groupBy(grpKeys: _*)
+        .agg(
+          max(when(col("eligible"), struct(col("score").as("score"),
+            (-col("cdst")).as("tb"), col("cdst").as("best")))).as("mx"),
+          sum(when(col("cdst") === col("ccur"), col("wuc")).otherwise(lit(0.0))).as("wud"))
+        .filter(col("mx").isNotNull)
+        .withColumn("mdq",
+          col("mx.score") - col("wud") / lit(m) -
+            lit(resolution) * col("vtot_u") * (col("vtot_u") - col("ctot_d")) / lit(2 * m * m))
+        .filter(col("mdq") > 0)
+        .select(col("src").as("id"), col("mx.best").as("newcomm"), col("mdq")))
 
     val stats = best.agg(count(lit(1)), coalesce(sum("mdq"), lit(0.0))).head
     val nMoves = stats.getLong(0)
