@@ -35,9 +35,12 @@ object NearDup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val withSig = docs.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minHash(col("sh"), numHashes))
+    // materialized once: both the bucket build and the exact verification
+    // read it, and shingling + 16 minhashes per doc is the expensive scan
+    val withSig = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      docs.select(col(idCol).as("id"),
+        TextOps.shingles(col(textCol), k).as("sh"))
+        .withColumn("sig", minHash(col("sh"), numHashes)))
     val buckets = withSig.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
