@@ -92,7 +92,7 @@ object SparkEntry {
       Components.componentSizes(Components.connectedComponents(e, EdgeTable.vertices(e)))
     }),
     "g_pagerank" -> ((s, dir) => // rows-only: float fixpoint
-      PageRank.run(bipartite(s, dir), tol = 1e-8)),
+      PageRank.run(bipartite(s, dir))), // default tol 1e-6 = BASELINE target
     "g_lpa" -> ((s, dir) => // rows-only: iterative fixpoint
       LabelProp.run(copurchaseSym(s, dir)).groupBy("label").agg(count(lit(1)).as("size"))),
     "g_leiden" -> ((s, dir) => { // rows-only: flagship algorithm

@@ -24,8 +24,10 @@ class AlgoSpec extends SparkSpec {
     val es = (for (a <- 0 until 34; b <- 0 until 34 if a != b && rnd.nextDouble() < 0.12)
       yield (a.toLong, b.toLong, 1.0 + rnd.nextInt(3).toDouble))
     val edges = EdgeTable.of(spark, es)
-    val got = PageRank.run(edges).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val want = PageRank.sequential(es)
+    // tol pinned below the 1e-6 comparison bound so an off-by-one-iteration
+    // stop between the two implementations cannot masquerade as a mismatch
+    val got = PageRank.run(edges, tol = 1e-9).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = PageRank.sequential(es, tol = 1e-9)
     assert(got.keySet === want.keySet)
     got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"vertex $k: $v vs ${want(k)}") }
     assert(approx(got.values.sum, 1.0, 1e-9))
