@@ -67,6 +67,15 @@ object SparkEntry {
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
     }),
+    "q4_top_orders" -> ((s, dir) => { // ranking window (§2.5 top-k)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+    }),
     // --- graph: scans/degrees/weights (S2, P2, A1, A2) ----------------
     "g_degree" -> ((s, dir) => EdgeTable.degrees(bipartite(s, dir))),
     "g_total_weight" -> ((s, dir) =>
@@ -87,7 +96,7 @@ object SparkEntry {
       val memb = part.select(col("p_partkey").as("id"), col("p_brand").as("comm"))
       Modularity.communityTerms(copurchaseSym(s, dir), memb)
     }),
-    "g_components" -> ((s, dir) => { // rows-only: iterative fixpoint
+    "g_components" -> ((s, dir) => { // oracle: DuckDB recursive-CTE closure
       val e = bipartite(s, dir)
       Components.componentSizes(Components.connectedComponents(e, EdgeTable.vertices(e)))
     }),
@@ -135,7 +144,7 @@ object SparkEntry {
     "d_ngram_overlap" -> ((s, dir) =>
       TextOps.ngramOverlap(docs(s, dir), 3)
         .select(col("a"), col("b"), col("inter"), col("union").as("u"))),
-    "d_fingerprint" -> ((s, dir) => // rows-only: engine-specific hash
+    "d_fingerprint" -> ((s, dir) => // oracle: md5-derived rolling hash
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
     "d_minhash_pairs" -> ((s, dir) => // rows-only: engine-specific hash
       NearDup.minHashLshPairs(docs(s, dir), threshold = 0.2)),
@@ -165,6 +174,8 @@ object SparkEntry {
     "ev_user_events" -> ((s, dir) =>
       ev(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))),
+    "ev_sessions" -> ((s, dir) => // batch gap-sessionization (window fns)
+      graft.streaming.EventStreams.sessionizeBatch(ev(s, dir))),
     // --- pages / link extraction / multimodal (synthetic fixtures) ------
     "p_text_digest" -> ((s, dir) => // rows-only: byte-identical invariant
       LinkExtract.textDigests(Pages.synthetic(s, 500))),
@@ -182,6 +193,20 @@ object SparkEntry {
     "q3_seg_counts" ->
       """SELECT c_mktsegment, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
+    "q4_top_orders" ->
+      """SELECT c_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey AS c_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "g_components" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |verts AS (SELECT DISTINCT src AS id FROM e),
+        |r AS (SELECT id, id AS reach FROM verts
+        |      UNION
+        |      SELECT r.id, e.dst AS reach FROM r JOIN e ON r.reach = e.src)
+        |SELECT comp, count(*) AS size
+        |FROM (SELECT id, min(reach) AS comp FROM r GROUP BY id) t GROUP BY comp""".stripMargin,
     "g_degree" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
@@ -244,6 +269,22 @@ object SparkEntry {
         |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
         |SELECT i.a, i.b, i.inter, (za.sz + zb.sz - i.inter) AS u
         |FROM inter i JOIN sz za ON i.a = za.doc_id JOIN sz zb ON i.b = zb.doc_id""".stripMargin,
+    "d_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 2147483647)),
+        |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "ev_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |g AS (SELECT user_id, event_id, es,
+        |  CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (SELECT user_id, es,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, sid AS session_id, count(*) AS n_events, min(es) AS start_s, max(es) AS end_s
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2""".stripMargin,

@@ -22,8 +22,9 @@ object LabelProp {
   def run(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val e = edges.filter(col("src") =!= col("dst")).cache()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-    var labels = PlanUtils.checkpointTruncated(
+    var materialized = PlanUtils.checkpointTruncated(
       verts.select(col("id"), col("id").as("label")))
+    var labels = materialized
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -62,6 +63,9 @@ object LabelProp {
                 .otherwise(col("label")).as("newlabel"),
               col("label").as("old")))
         changed += next.filter(col("newlabel") =!= col("old")).count()
+        // next is materialized; the superseded half-round's blocks are dead
+        PlanUtils.release(materialized)
+        materialized = next
         labels = next.select(col("id"), col("newlabel").as("label"))
       }
       round += 1

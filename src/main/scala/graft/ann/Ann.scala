@@ -88,18 +88,24 @@ object Ann {
                          planes: Int = 16, tables: Int = 4,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val rows = planes / tables
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // candidate ids only through the bucket join; a pair matching in
+    // several tables is deduplicated BEFORE scoring, so each pair's cosine
+    // is computed exactly once (and never compared as a float dedup key)
+    val b = vecs.select(col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"),
             shiftright(lshSignature(col(vecCol), planes), t * rows)
               .bitwiseAND(lit((1L << rows) - 1)).as("bk"))): _*)).as("bb"))
-      .select(col("id"), col("vec"), col("bb.t"), col("bb.bk"))
-    b.as("x").join(b.as("y"),
+      .select(col("id"), col("bb.t"), col("bb.bk"))
+    val cand = b.as("x").join(b.as("y"),
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.vec"), col("y.vec")).as("cosine"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    val va = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -37,9 +37,38 @@ object EventStreams {
 
   case class Session(user_id: Long, n_events: Int, start_ms: Long, end_ms: Long)
 
+  /** Batch gap-sessionization via window functions: a new session starts
+    * after more than `gapSec` of per-user silence; session ids are the
+    * running count of session starts. Exact ANSI-SQL-expressible semantics
+    * (mirrors the DuckDB oracle) with a deterministic (ts, event_id) order.
+    *
+    * This is the BATCH surface: the streaming `sessionize` below never
+    * emits its trailing open session under batch execution (its
+    * processing-time timeout cannot fire and final state is discarded), so
+    * batch callers must use this one.
+    *
+    * @return (user_id, session_id, n_events, start_s, end_s) — integers
+    *         only (epoch seconds), hash-stable across engines
+    */
+  def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("es"))
+      .withColumn("ns",
+        when(lag("es", 1).over(w).isNull ||
+          col("es") - lag("es", 1).over(w) > gapSec, 1).otherwise(0))
+      .withColumn("sid",
+        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid").as("session_id"))
+      .agg(count(lit(1)).as("n_events"), min("es").as("start_s"), max("es").as("end_s"))
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a user's session
     * closes after `gapMs` of silence (processing-time timeout drives
-    * emission in streams).
+    * emission in streams). STREAMING-ONLY: in batch execution the trailing
+    * open session per user is never emitted — use sessionizeBatch there.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

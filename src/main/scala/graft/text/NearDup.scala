@@ -35,12 +35,14 @@ object NearDup {
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    // materialized once: both the bucket build and the exact verification
-    // read it, and shingling + 16 minhashes per doc is the expensive scan
+    // Materialized once and FIXED-WIDTH: only (id, 16 minhash longs) flows
+    // into the bucket join — never the shingle arrays, whose size is O(doc)
+    // and would dominate the shuffle at corpus scale. Docs with fewer than
+    // k tokens have no shingles and are exempt from near-dup.
     val withSig = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
-      docs.select(col(idCol).as("id"),
-        TextOps.shingles(col(textCol), k).as("sh"))
-        .withColumn("sig", minHash(col("sh"), numHashes)))
+      docs.select(col(idCol).as("id"), TextOps.shingles(col(textCol), k).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("id"), minHash(col("sh"), numHashes).as("sig")))
     val buckets = withSig.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -52,14 +54,16 @@ object NearDup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // exact verification on the candidate set only
-    val sh = withSig.select(col("id"), col("sh"))
+    // exact verification on the candidate set only: re-derive each side's
+    // shingles from doc storage per pair (candidates are LSH-rare, so the
+    // recompute is cheap; shipping per-doc shingle arrays corpus-wide is not)
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     cand
-      .join(sh.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
+      .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        (size(array_intersect(TextOps.shingles(col("ta"), k), TextOps.shingles(col("tb"), k))).cast("double") /
+          size(array_union(TextOps.shingles(col("ta"), k), TextOps.shingles(col("tb"), k)))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -87,7 +91,8 @@ object NearDup {
     * equi-join on (chunkIdx, chunkValue) — no cross join.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   bucketCap: Long = 100000): DataFrame = {
     require(maxHamming < 4, "chunk blocking assumes maxHamming < 4")
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
@@ -95,12 +100,37 @@ object NearDup {
           struct(lit(c).as("c"),
             shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
       .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
-    chunks.as("x").join(chunks.as("y"),
+    // bucket-size cap: a boilerplate-dominated corpus puts ~every doc into
+    // the same chunk bucket, making the self-join O(bucket^2). Buckets
+    // larger than bucketCap are dropped (pairs whose ONLY shared chunk was
+    // a dropped bucket are lost — a recall cap, audited via
+    // oversizedBuckets(), never a silent quadratic blowup). Default is far
+    // above any fixture's bucket size, so results there are exact.
+    val kept = chunks.join(
+      chunks.groupBy("c", "v").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= bucketCap).select("c", "v"),
+      Seq("c", "v"), "left_semi")
+    kept.as("x").join(kept.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         hamming(col("x.sig"), col("y.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audit companion for simHashPairs' bucketCap: the (chunk, value, size)
+    * buckets the cap drops — callers log these so the cap is never silent.
+    */
+  def oversizedBuckets(docs: DataFrame, bucketCap: Long,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    sigs.select(col("id"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+      .groupBy(col("ch.c").as("c"), col("ch.v").as("v"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > bucketCap)
   }
 }

@@ -64,24 +64,32 @@ object TextOps {
 
   /** Rolling polynomial document fingerprint over tokens, mod 2^31-1 (the
     * classic Rabin-Karp document hash). Pure column expression via
-    * aggregate(); deterministic across partitionings.
+    * aggregate(); deterministic across partitionings. Token hash = first 13
+    * hex chars of md5 (52 bits) — md5 is identical across engines, so the
+    * whole fingerprint is reproducible in ANSI SQL (DuckDB oracle), unlike
+    * engine-specific xxhash64.
     */
   def fingerprint(text: Column): Column = {
     // modulus 2^31-1: keeps acc*multiplier within a long under ANSI
     // arithmetic (acc < 2^31, multiplier ~2^20 -> product < 2^52)
     val mod = lit(2147483647L)
+    def th(tk: Column) = pmod(conv(substring(md5(tk), 1, 13), 16, 10).cast("long"), mod)
     aggregate(tokens(text), lit(0L),
-      (acc, tk) => pmod(acc * lit(1000003L) + pmod(xxhash64(tk), mod), mod))
+      (acc, tk) => pmod(acc * lit(1000003L) + th(tk), mod))
   }
 
-  /** Word k-shingles as an array column (distinct, order-insensitive). */
+  /** Word k-shingles as an array column (distinct, order-insensitive).
+    * Documents with fewer than k tokens have NO k-shingles (empty array) —
+    * the same semantics as the SQL oracle's generate_series(1, len-k+1),
+    * which is empty for short docs; they are exempt from shingle-based
+    * dedup rather than matching on their whole text.
+    */
   def shingles(text: Column, k: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
-        .otherwise(array(text)))
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact duplicate groups by content hash: (h, keeper=min id, dups). */
@@ -99,13 +107,25 @@ object TextOps {
     * (a, b, inter, union) with a < b. Exact integer outputs; Jaccard =
     * inter/union computed by the caller. The shingle inverted index bounds
     * the join to docs sharing at least one shingle.
+    *
+    * `dfCap` bounds the posting list of any one shingle: a shingle shared
+    * by df documents contributes O(df^2) pairs to the self-join, so one
+    * boilerplate shingle across 10^6 docs would emit 10^12 rows. Shingles
+    * with df > dfCap are DROPPED from the index (their pairs lose that
+    * shingle from `inter`; set sizes stay exact, so `union` is exact and
+    * jaccard becomes a lower bound). The default cap is far above any
+    * fixture's max df — results are exact there; at web scale callers set
+    * it to taste and audit the loss with droppedShingles().
     */
   def ngramOverlap(docs: DataFrame, k: Int, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id", dfCap: Long = 100000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val kept = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("s"),
+      Seq("s"), "left_semi")
+    val inter = kept.as("x").join(kept.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -115,4 +135,14 @@ object TextOps {
       .select(col("a"), col("b"), col("inter"),
         (col("sza") + col("szb") - col("inter")).as("union"))
   }
+
+  /** Audit companion for ngramOverlap's dfCap: the (shingle, df) rows that
+    * the cap drops — callers log/count these so the cap is never silent.
+    */
+  def droppedShingles(docs: DataFrame, k: Int, dfCap: Long,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+      .distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
 }

@@ -46,6 +46,50 @@ class TextSpec extends SparkSpec {
     assert(o((0L, 3L)) === ((4L, 4L))) // identical docs
   }
 
+  test("shingles: docs shorter than k tokens have NO shingles (oracle parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val short = Seq((0L, "two words"), (1L, "two words"), (2L, "one two three")).toDF("doc_id", "text")
+    val sh = short.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).isEmpty && sh(1L).isEmpty)
+    assert(sh(2L) === Seq("one two three"))
+    // sub-k docs never pair — neither via ngram overlap nor via minhash LSH
+    assert(TextOps.ngramOverlap(short, 3).count() === 0L)
+    assert(NearDup.minHashLshPairs(short, k = 3, threshold = 0.0).count() === 0L)
+  }
+
+  test("ngram df-cap bounds boilerplate posting lists (logged, not silent)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 20 docs all sharing the planted boilerplate shingle "all rights reserved";
+    // each doc otherwise unique. Uncapped: the boilerplate alone creates
+    // C(20,2)=190 candidate pairs.
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"all rights reserved unique$i text$i body$i")).toDF("doc_id", "text")
+    val uncapped = TextOps.ngramOverlap(docs, 3)
+    assert(uncapped.count() === 190L)
+    // df-cap 10 drops the boilerplate shingles (df=20 > 10); no doc pair
+    // shares any other shingle, so the candidate set collapses to zero
+    val capped = TextOps.ngramOverlap(docs, 3, dfCap = 10)
+    assert(capped.count() === 0L)
+    val dropped = TextOps.droppedShingles(docs, 3, dfCap = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped.nonEmpty && dropped.values.forall(_ === 20L))
+    assert(dropped.contains("all rights reserved"))
+  }
+
+  test("simhash bucket cap bounds giant chunk buckets (logged, not silent)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0 until 12).map(i => (i.toLong, "same boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    // identical docs: every chunk bucket has size 12 -> C(12,2)=66 pairs
+    assert(NearDup.simHashPairs(docs, maxHamming = 3).count() === 66L)
+    assert(NearDup.simHashPairs(docs, maxHamming = 3, bucketCap = 5).count() === 0L)
+    assert(NearDup.oversizedBuckets(docs, bucketCap = 5).count() === 4L)
+  }
+
   test("fingerprint: equal texts equal, different texts differ, stable across partitionings") {
     val fp = docsDF.repartition(7).select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
