@@ -26,6 +26,44 @@ object Aggregate {
       .agg(sum("w").as("w"))
   }
 
+  /** Low-memory LOSSY coarsening (`leidenLowmemAggregateEdgesOmpW`,
+    * `/root/reference/inc/leidenLowmem.hxx:370-417`): each community's
+    * outgoing neighbor-community weights pass through a k-slot Misra-Gries
+    * sketch instead of an exact hashtable, so a super-vertex keeps at most
+    * `slots` out-edges (hub communities with millions of neighbor
+    * communities get a bounded profile; weights are the sketch's decrement
+    * estimates, hence lossy — the reference bounds the modularity gap at
+    * ~1% for k>=8, `/root/reference/README.md:9`).
+    *
+    * The reference emits each surviving (c,d) super-edge symmetrically with
+    * first-writer-wins dedup (`:386-387`, `csrAddEdgeOmpU<CHECK=true>`),
+    * which is thread-schedule-dependent; the deterministic analog here
+    * takes the MAX estimate per unordered pair, then emits both directions.
+    */
+  def coarsenSketch(edges: DataFrame, membership: DataFrame, slots: Int): DataFrame = {
+    val ms = membership.select(col("id").as("src"), col("comm").as("csrc"))
+    val md = membership.select(col("id").as("dst"), col("comm").as("cdst"))
+    val sk = edges
+      .join(ms, "src").join(md, "dst")
+      .groupBy("csrc")
+      .agg(MGSketch.sketch(slots)(col("cdst"), col("w")).as("cands"))
+      .select(col("csrc"), explode(col("cands")).as("c"))
+      .select(col("csrc").as("a"), col("c.comm").as("b"), col("c.w").as("w"))
+    val canon = sk
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"), col("w"))
+      .groupBy("lo", "hi").agg(max("w").as("w"))
+    canon.select(col("lo").as("src"), col("hi").as("dst"), col("w"))
+      .unionByName(canon.filter(col("lo") =!= col("hi"))
+        .select(col("hi").as("src"), col("lo").as("dst"), col("w")))
+      // a community whose sketch decremented to all-zero would otherwise
+      // vanish from the coarse graph and its leaf rows would drop out of
+      // the membership composition (an inner join) — keep every community
+      // alive with a zero-weight self loop (harmless: every consumer
+      // aggregates weights, and the move scan skips self loops)
+      .unionByName(membership.select(col("comm").as("src"), col("comm").as("dst"),
+        lit(0.0).as("w")).distinct())
+  }
+
   /** Compose leaf membership with this pass's membership (J2,
     * `/root/reference/inc/leiden.hxx:565-570`): leaf vertices pointing at a
     * pass-level vertex id adopt that vertex's new community.

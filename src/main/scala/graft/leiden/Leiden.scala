@@ -33,8 +33,21 @@ object Leiden {
   private def singletonState(vtot: DataFrame): DataFrame =
     vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
 
-  /** @param edges0 canonical symmetrized edge table (src,dst,w) */
-  def detect(edges0: DataFrame, opts: LeidenOptions = LeidenOptions()): LeidenResult = {
+  /** @param edges0 canonical symmetrized edge table (src,dst,w)
+    * @param prevMembership warm start (the reference's `fi` hook,
+    *                       `/root/reference/inc/leiden.hxx:655-662`): pass-0
+    *                       communities initialize from this (id, comm)
+    *                       membership instead of singletons — the dynamic
+    *                       re-run path after a Batch.apply
+    * @param affected the `fm` hook: pass-0 scanning starts from ONLY these
+    *                 vertex ids (single column) instead of marking every
+    *                 vertex affected; moves re-mark neighbors, so the
+    *                 frontier grows exactly where the batch disturbed the
+    *                 graph. Ignored when resuming from a snapshot.
+    */
+  def detect(edges0: DataFrame, opts: LeidenOptions = LeidenOptions(),
+             prevMembership: Option[DataFrame] = None,
+             affected: Option[DataFrame] = None): LeidenResult = {
     val spark = edges0.sparkSession
     val t0 = System.currentTimeMillis()
     var phase = Map.empty[String, Long]
@@ -60,11 +73,13 @@ object Leiden {
     var pass = 0
     var totalIters = 0
     var done = false
+    var resumed = false
 
     // Resume from the latest committed pass snapshot, if any.
     for (root <- opts.snapshotDir; last <- Snapshots.committed(root, "leiden").lastOption) {
       edges.unpersist()
       edges = Snapshots.read(spark, root, "leiden", last, "edges").cache()
+      PlanUtils.release(leaf)
       leaf = Snapshots.read(spark, root, "leiden", last, "leaf")
       pass = (last + 1).toInt
       tolerance = opts.tolerance / math.pow(opts.toleranceDrop, pass.toDouble)
@@ -72,30 +87,68 @@ object Leiden {
       totalIters = Snapshots.manifestText(root, "leiden", last)
         .split("\"iterations\":\"").lift(1).flatMap(_.takeWhile(_.isDigit).toIntOption)
         .getOrElse(0)
+      resumed = true
     }
+    val firstPass = pass
 
     while (!done && pass < opts.maxPasses) {
-      val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+      // sketch auto-fallback: exact scan/coarsening once the pass graph is
+      // small — the sketch's candidate filter exists to bound hub-vertex
+      // aggregation state, not to slow down broadcast-sized graphs
+      val slots =
+        if (opts.sketchSlots > 0 && gn >= opts.sketchExactCutoff) opts.sketchSlots else 0
+      val minMoves =
+        if (opts.minMovedFraction > 0) (opts.minMovedFraction * gn).toLong else 0L
 
-      // 1. local moving from singletons
-      val (moved, lIters, lMoves) = timed("move") {
-        LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
-          tolerance, opts.maxIterations, sketchSlots = opts.sketchSlots)
+      val vtot = timed("init") {
+        PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+      }
+      // init membership (fi) + affected marks (fm): warm start only applies
+      // to the first pass of a non-resumed run
+      val state0 = timed("mark") {
+        if (pass == firstPass && !resumed && (prevMembership.isDefined || affected.isDefined)) {
+          val withComm = prevMembership match {
+            case Some(pm) => vtot
+              .join(pm.select(col("id"), col("comm").as("__pc")), Seq("id"), "left")
+              .select(col("id"), coalesce(col("__pc"), col("id")).as("comm"), col("vtot"))
+            case None => vtot.select(col("id"), col("id").as("comm"), col("vtot"))
+          }
+          val withAff = affected match {
+            case Some(ids) => withComm
+              .join(ids.select(col(ids.columns.head).as("id"), lit(true).as("__aff")), Seq("id"), "left")
+              .select(col("id"), col("comm"), col("vtot"), coalesce(col("__aff"), lit(false)).as("aff"))
+            case None => withComm.withColumn("aff", lit(true))
+          }
+          PlanUtils.checkpointTruncated(withAff)
+        } else singletonState(vtot)
+      }
+
+      // 1. local moving
+      val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
+        LocalMove.run(edges, state0, m, opts.resolution,
+          tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves)
       }
 
       // 2. refinement: bound = post-move membership; re-init singletons
       val bound = PlanUtils.checkpointTruncated(
         moved.select(col("id"), col("comm").as("bound")))
+      if (moved ne state0) PlanUtils.release(moved)
       val (refined, rIters, rMoves) = timed("refine") {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
           tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
-          sketchSlots = opts.sketchSlots)
+          sketchSlots = slots, minMoves = minMoves)
       }
       val iters = lIters + rIters
       totalIters += math.max(iters, 1)
 
       val refMemb = PlanUtils.checkpointTruncated(refined.select("id", "comm"))
+      PlanUtils.release(bound)
+      if (refined ne refMemb) PlanUtils.release(refined)
+      PlanUtils.release(vtot)
+      if (state0 ne vtot) PlanUtils.release(state0)
+      val prevLeaf = leaf
       leaf = PlanUtils.checkpointTruncated(Aggregate.compose(leaf, refMemb))
+      PlanUtils.release(prevLeaf)
       pass += 1
 
       if (lMoves + rMoves == 0 || pass >= opts.maxPasses) done = true
@@ -103,9 +156,20 @@ object Leiden {
         val cn = refMemb.select("comm").distinct().count()
         if (cn.toDouble / gn >= opts.aggregationTolerance) done = true
         else {
-          // 3. aggregate into the next pass's graph
+          // 3. aggregate into the next pass's graph — through the sketch
+          // when the low-mem variant is active at this size. The
+          // aggregation width is floored at 8: the reference instantiates
+          // the aggregation sketch at SLOTS too
+          // (/root/reference/inc/leidenLowmem.hxx:370-417) but documents
+          // its <=1% modularity bound only from k=8 up (README.md:9); a
+          // 1-slot coarse graph (one out-edge per community) loses
+          // connectivity that synchronous supersteps — unlike the
+          // reference's asynchronous CAS dynamics — cannot recover. The
+          // scan keeps the caller's width (1 = Boyer-Moore majority).
           val coarse = timed("aggregate") {
-            PlanUtils.checkpointTruncated(Aggregate.coarsen(edges, refMemb))
+            PlanUtils.checkpointTruncated(
+              if (slots > 0) Aggregate.coarsenSketch(edges, refMemb, math.max(slots, 8))
+              else Aggregate.coarsen(edges, refMemb))
           }
           opts.snapshotDir.foreach { root =>
             timed("snapshot") {
@@ -123,6 +187,7 @@ object Leiden {
           tolerance /= opts.toleranceDrop
         }
       }
+      PlanUtils.release(refMemb)
     }
 
     val communities = leaf.select("comm").distinct().count()

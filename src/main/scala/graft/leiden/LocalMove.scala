@@ -150,7 +150,7 @@ object LocalMove {
     val dqSum = stats.getDouble(1)
     if (debug) System.err.println(s"[sweep] parity=$parity moves=$nMoves dq=$dqSum refine=$refineSingletons")
 
-    if (nMoves == 0) return SweepResult(state, 0L, 0.0)
+    if (nMoves == 0) { PlanUtils.release(best); return SweepResult(state, 0L, 0.0) }
 
     // neighbors of moved vertices become affected
     // (/root/reference/inc/leiden.hxx:427-429); a visited mover clears its
@@ -178,11 +178,17 @@ object LocalMove {
     * `/root/reference/inc/leiden.hxx:425-434`. One iteration = the even
     * half-sweep then the odd half-sweep. Returns the final state, the
     * iteration count, and the total number of moves.
+    *
+    * `minMoves` adds a churn stop: an iteration that moves fewer vertices
+    * than this (but more than zero — zero already stops) ends the phase.
+    * Weak-structure graphs otherwise trickle single-digit move counts for
+    * the entire iteration budget at full sweep cost.
     */
   def run(edges: DataFrame, state0: DataFrame, m: Double, resolution: Double,
           tolerance: Double, maxIterations: Int,
           bound: Option[DataFrame] = None,
-          refineSingletons: Boolean = false, sketchSlots: Int = 0): (DataFrame, Int, Long) = {
+          refineSingletons: Boolean = false, sketchSlots: Int = 0,
+          minMoves: Long = 0L): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
@@ -197,7 +203,8 @@ object LocalMove {
       state = b.state
       it += 1
       totalMoves += a.moves + b.moves
-      if (a.moves + b.moves == 0 || a.dqSum + b.dqSum <= tolerance) continue = false
+      if (a.moves + b.moves < math.max(1L, minMoves) ||
+        a.dqSum + b.dqSum <= tolerance) continue = false
     }
     (state, it, totalMoves)
   }

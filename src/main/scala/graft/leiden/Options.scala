@@ -12,11 +12,25 @@ case class LeidenOptions(
     toleranceDrop: Double = 10.0,
     maxIterations: Int = 20,
     maxPasses: Int = 10,
-    /** Misra-Gries sketch slots for the low-memory scan; 0 = exact scan.
-      * Reference uses 64 (multi) and 1 (majority)
+    /** Misra-Gries sketch slots for the low-memory scan AND the lossy
+      * coarsening; 0 = exact. Reference uses 64 (multi) and 1 (majority)
       * (`/root/reference/main.cxx:69-75`).
       */
     sketchSlots: Int = 0,
+    /** With sketchSlots > 0, passes whose graph has fewer vertices than
+      * this fall back to the exact scan/coarsening: the sketch exists to
+      * bound per-vertex aggregation state on hub-heavy graphs, and on a
+      * broadcast-small graph its extra exchanges are pure overhead. Set 0
+      * to force the sketch at every size (tests do).
+      */
+    sketchExactCutoff: Long = 8192,
+    /** Stop a local-move phase when an iteration's moves fall below this
+      * fraction of the pass's vertices (in addition to the reference's
+      * dq-sum tolerance, `/root/reference/inc/leiden.hxx:425-434`) — weak-
+      * structure graphs otherwise churn single-digit move counts for the
+      * full iteration budget. 0 disables.
+      */
+    minMovedFraction: Double = 1e-3,
     /** Directory for per-pass snapshots (checkpoint/resume). Empty = use
       * Spark localCheckpoint only (no durability).
       */

@@ -46,13 +46,19 @@ object MGSketch {
       * majority variant (/root/reference/inc/leidenLowmem.hxx:151-164):
       * add on match, subtract while heavier, else replace — this keeps the
       * majority-survival guarantee the k=1 decrement rule would lose.
+      * EXACT ties keep the SMALLER community id (the reference's winner on
+      * ties is a thread race; ours must be order-insensitive — and the
+      * engine's swap guard only admits singleton moves toward smaller
+      * community ids, so a larger-id tie winner would deadlock tie-heavy
+      * graphs under synchronous sweeps).
       */
     override def reduce(b: Buf, a: (Long, Double)): Buf = {
       val (c, w) = a
       if (slots == 1) {
         if (b.keys(0) == c && b.ws(0) > 0) b.ws(0) += w
         else if (b.ws(0) > w) b.ws(0) -= w
-        else { b.keys(0) = c; b.ws(0) = w }
+        else if (b.ws(0) < w) { b.keys(0) = c; b.ws(0) = w }
+        else { b.keys(0) = math.min(if (b.ws(0) > 0) b.keys(0) else c, c); b.ws(0) = w }
         return b
       }
       var i = 0
@@ -79,6 +85,19 @@ object MGSketch {
       * weight from all and keep the positive top `slots`.
       */
     override def merge(x: Buf, y: Buf): Buf = {
+      if (slots == 1) {
+        // Boyer-Moore pairwise combine; exact tie keeps the smaller key
+        // WITH its weight (strict BM would cancel both and leave no
+        // candidate — a true majority can never tie, so the guarantee holds)
+        val out = zero
+        if (x.ws(0) <= 0) { out.keys(0) = y.keys(0); out.ws(0) = y.ws(0) }
+        else if (y.ws(0) <= 0) { out.keys(0) = x.keys(0); out.ws(0) = x.ws(0) }
+        else if (x.keys(0) == y.keys(0)) { out.keys(0) = x.keys(0); out.ws(0) = x.ws(0) + y.ws(0) }
+        else if (x.ws(0) > y.ws(0)) { out.keys(0) = x.keys(0); out.ws(0) = x.ws(0) - y.ws(0) }
+        else if (x.ws(0) < y.ws(0)) { out.keys(0) = y.keys(0); out.ws(0) = y.ws(0) - x.ws(0) }
+        else { out.keys(0) = math.min(x.keys(0), y.keys(0)); out.ws(0) = x.ws(0) }
+        return out
+      }
       val m = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
       var i = 0
       while (i < slots) { if (x.ws(i) > 0) m.update(x.keys(i), m.getOrElse(x.keys(i), 0.0) + x.ws(i)); i += 1 }

@@ -86,6 +86,36 @@ class LeidenSpec extends SparkSpec {
     assert(full.membership.except(resumed.membership).count() === 0L)
   }
 
+  test("incremental re-run: batch-seeded affected set reproduces the from-scratch membership") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three 6-cliques, light bridges between consecutive cliques
+    val cliques = (0 until 3).flatMap(c => clique((c * 6).toLong until (c * 6 + 6).toLong))
+    val bridges = Seq((5L, 6L, 1.0), (11L, 12L, 1.0))
+    val edges = EdgeTable.undirected(spark, cliques ++ bridges).cache()
+    val r0 = Leiden.detect(edges)
+    assert(r0.communities === 3L)
+
+    // batch: vertex 0 defects — delete its clique-A edges, wire it into clique C
+    val dels = (1L to 5L).map(v => (0L, v, 1.0)).toDF("src", "dst", "w")
+    val ins = (12L to 17L).map(v => (0L, v, 1.0)).toDF("src", "dst", "w")
+    val updated = graft.graph.Batch.apply(edges, ins, dels, symmetric = true).cache()
+
+    val scratch = Leiden.detect(updated)
+    // fm hook: only the batch's endpoints start affected; fi hook: communities
+    // start from the previous membership
+    val touched = (Seq(0L) ++ (1L to 5L) ++ (12L to 17L)).toDF("id")
+    val inc = Leiden.detect(updated, prevMembership = Some(r0.membership),
+      affected = Some(touched))
+
+    def partition(m: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      m.collect().groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).toSet).toSet
+    assert(partition(inc.membership) === partition(scratch.membership))
+    assert(approx(inc.modularity, scratch.modularity, 1e-9),
+      s"inc=${inc.modularity} scratch=${scratch.modularity}")
+    edges.unpersist(); updated.unpersist()
+  }
+
   test("aggregate.coarsen: super-edges carry intra weight as self loops") {
     val spark2 = spark
     import spark2.implicits._

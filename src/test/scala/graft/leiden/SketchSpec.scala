@@ -44,9 +44,54 @@ class SketchSpec extends SparkSpec {
     val edges = EdgeTable.undirected(spark,
       clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
     for (k <- Seq(64, 1)) {
-      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k))
+      // sketchExactCutoff = 0: force the sketch path at toy size (the
+      // default falls back to the exact scan below 8192 vertices)
+      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k, sketchExactCutoff = 0))
       assert(r.communities === 2L, s"k=$k communities=${r.communities}")
       assert(approx(r.modularity, 11.0 / 26.0, 1e-9), s"k=$k q=${r.modularity}")
     }
+  }
+
+  test("sketch auto-fallback: below the cutoff the low-mem path equals exact bit-for-bit") {
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
+    val edges = EdgeTable.undirected(spark,
+      clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
+    val exact = Leiden.detect(edges)
+    val lowmem = Leiden.detect(edges, LeidenOptions(sketchSlots = 64)) // default cutoff 8192 > 8
+    assert(lowmem.modularity === exact.modularity)
+    assert(lowmem.membership.except(exact.membership).count() === 0L)
+  }
+
+  test("lossy sketch coarsening: no-eviction sketch equals exact coarsening") {
+    val spark2 = spark
+    import spark2.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
+    val edges = EdgeTable.undirected(spark, clique(0L to 2L) ++ Seq((2L, 3L, 1.0)) ++ clique(3L to 5L))
+    val memb = (0L to 5L).map(i => (i, if (i < 3) 0L else 1L)).toDF("id", "comm")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("src", "dst").agg(org.apache.spark.sql.functions.sum("w").as("w"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 64 slots >> 2 neighbor communities: the sketch never evicts, so the
+    // lossy path must reproduce the exact super-edges (plus 0-weight keepalive loops)
+    assert(agg(Aggregate.coarsenSketch(edges, memb, 64)) === agg(Aggregate.coarsen(edges, memb)))
+  }
+
+  test("lossy coarsening under eviction pressure keeps Q within 1% of exact (ref README bound)") {
+    val rnd = new scala.util.Random(42)
+    val k = 12; val mSize = 12
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until k * mSize; b <- a + 1 until k * mSize) {
+      val p = if ((a / mSize) == (b / mSize)) 0.7 else 0.01
+      if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
+    }
+    val edges = EdgeTable.undirected(spark, es.result())
+    val exact = Leiden.detect(edges)
+    // 12 blocks: each coarse community sees ~12 neighbor communities, above
+    // the aggregation sketch's 8-slot floor, so coarsening MUST evict
+    val lossy = Leiden.detect(edges, LeidenOptions(sketchSlots = 8, sketchExactCutoff = 0))
+    // one-sided: the lossy path may not LOSE more than 1% of exact Q (it
+    // may land higher — both are valid local optima of the same objective)
+    assert(lossy.modularity >= exact.modularity - 0.01 * math.abs(exact.modularity),
+      s"lossy=${lossy.modularity} exact=${exact.modularity}")
   }
 }
