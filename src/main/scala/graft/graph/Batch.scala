@@ -42,15 +42,30 @@ object Batch {
     */
   def apply(edges: DataFrame, insertions: DataFrame, deletions: DataFrame,
             symmetric: Boolean = false): DataFrame = {
-    def mirror(df: DataFrame) = {
-      val cols = df.columns
-      val rev = df.withColumn("__t", col("src"))
-        .withColumn("src", col("dst")).withColumn("dst", col("__t")).drop("__t")
-        .select(cols.map(col): _*)
-      df.unionByName(rev).dropDuplicates("src", "dst")
+    // Symmetric insertions: resolve conflicting (u,v)/(v,u) rows PER
+    // UNORDERED PAIR first (seq desc, w desc — the same last-write-wins
+    // rule as EdgeTable.dedupLastSeq), then emit both directions. A plain
+    // union+dropDuplicates would keep a partition-order-dependent survivor
+    // when a batch carries both directions with different weights.
+    def mirrorIns(ins: DataFrame): DataFrame = {
+      val base = if (ins.columns.contains("seq")) ins else ins.withColumn("seq", lit(0L))
+      val w = Window.partitionBy("lo", "hi").orderBy(col("seq").desc, col("w").desc)
+      val canon = base.select(
+          least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"),
+          col("w"), col("seq"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("lo", "hi", "w", "seq")
+      canon.select(col("lo").as("src"), col("hi").as("dst"), col("w"), col("seq"))
+        .unionByName(canon.filter(col("lo") =!= col("hi"))
+          .select(col("hi").as("src"), col("lo").as("dst"), col("w"), col("seq")))
     }
-    val del = if (symmetric) mirror(deletions.select("src", "dst")) else deletions.select("src", "dst")
-    val ins0 = if (symmetric) mirror(insertions) else insertions
+    // deletions carry no payload — both directions, exact dedup
+    def mirrorDel(df: DataFrame) = {
+      val d = df.select("src", "dst")
+      d.unionByName(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val del = if (symmetric) mirrorDel(deletions) else deletions.select("src", "dst")
+    val ins0 = if (symmetric) mirrorIns(insertions) else insertions
     val afterDel = edges.join(tidyDeletions(del, edges), Seq("src", "dst"), "left_anti")
     afterDel.unionByName(tidyInsertions(ins0, afterDel))
   }

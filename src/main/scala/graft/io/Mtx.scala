@@ -22,44 +22,51 @@ object Mtx {
 
   case class Header(rows: Long, cols: Long, nnz: Long, symmetric: Boolean, pattern: Boolean)
 
-  /** Sniff the MTX banner + size line (S1). Reads only the file head. */
-  def header(spark: SparkSession, path: String): Header = {
-    val head = spark.read.text(path).limit(64).collect().map(_.getString(0))
+  /** Sniff the MTX banner + size line (S1). Reads only the file head.
+    * Also returns the 0-based file line index of the size line, so the
+    * body scan can skip the header EXPLICITLY instead of pattern-matching.
+    */
+  def headerWithOffset(spark: SparkSession, path: String): (Header, Long) = {
+    val head = spark.read.text(path).limit(4096).collect().map(_.getString(0))
     val banner = head.headOption.getOrElse("")
     require(banner.startsWith("%%MatrixMarket"), s"not an mtx file: $banner")
     val symmetric = banner.contains("symmetric")
     val pattern = banner.contains("pattern")
-    val size = head.find(l => !l.startsWith("%") && l.trim.nonEmpty)
-      .getOrElse(sys.error("mtx: no size line"))
-    val parts = size.trim.split("\\s+")
-    Header(parts(0).toLong, parts(1).toLong, parts(2).toLong, symmetric, pattern)
+    val sizeIdx = head.indexWhere(l => !l.startsWith("%") && l.trim.nonEmpty)
+    require(sizeIdx >= 0, "mtx: no size line in the first 4096 lines")
+    val parts = head(sizeIdx).trim.split("\\s+")
+    (Header(parts(0).toLong, parts(1).toLong, parts(2).toLong, symmetric, pattern),
+      sizeIdx.toLong)
   }
+
+  def header(spark: SparkSession, path: String): Header = headerWithOffset(spark, path)._1
 
   /** Body scan (S2/S3): distributed text scan -> (src,dst,w). Mirrors
     * symmetric files; vertex/edge predicates (S4) compose as .filter.
+    *
+    * The banner/comment/size-line header is dropped by GLOBAL LINE INDEX
+    * (zipWithIndex — one extra distributed pass over the text, the price of
+    * not guessing): a size line "rows cols nnz" is textually
+    * indistinguishable from an edge row, and partition-local id tricks
+    * silently keep it when a comment block crosses a split boundary.
     */
   def read(spark: SparkSession, path: String, weighted: Boolean = true): DataFrame = {
-    val h = header(spark, path)
-    val body = spark.read.text(path)
-      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+    val (h, sizeIdx) = headerWithOffset(spark, path)
+    import spark.implicits._
+    val body = spark.read.text(path).select(col("value")).as[String].rdd
+      .zipWithIndex().toDF("value", "__idx")
+      .filter(col("__idx") > sizeIdx &&
+        !col("value").startsWith("%") && length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("f"))
-      // drop the size line: exactly 3 numeric fields equal to the header is
-      // indistinguishable from an edge, so skip the FIRST non-comment line
-      // by zipping an index per partition is overkill — instead filter it
-      // out by value match (rows cols nnz appears once).
       .select(col("f").getItem(0).cast("long").as("src"),
         col("f").getItem(1).cast("long").as("dst"),
         when(lit(!weighted || h.pattern), lit(1.0))
           .otherwise(coalesce(col("f").getItem(2).cast("double"), lit(1.0))).as("w"))
-    // remove the single size line (src=rows, dst=cols, w=nnz or 1)
-    val noSize = body.withColumn("__rn", monotonically_increasing_id())
-      .filter(!(col("src") === h.rows && col("dst") === h.cols && col("__rn") === 0))
-      .drop("__rn")
     if (h.symmetric)
-      noSize.unionByName(noSize.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      body.unionByName(body.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         .filter(col("src") =!= col("dst"))
-        .unionByName(noSize.filter(col("src") === col("dst")))
-    else noSize
+        .unionByName(body.filter(col("src") === col("dst")))
+    else body
   }
 
   /** SNAP-style whitespace edge list (S5): `u v [w]`, `#` comments. */

@@ -61,6 +61,29 @@ class MtxBatchSpec extends SparkSpec {
     assert(next === Set((1L, 2L, 1.0), (3L, 4L, 1.0), (4L, 5L, 9.0)))
   }
 
+  test("mtx: an edge row textually equal to the size line is NOT dropped") {
+    // 2x2 with 2 entries; the edge (2,2,2.0) repeats the size line "2 2 2"
+    val p = Files.createTempFile("m", ".mtx").toString
+    Files.writeString(java.nio.file.Paths.get(p),
+      "%%MatrixMarket matrix coordinate real general\n% c1\n% c2\n2 2 2\n1 2 1.0\n2 2 2\n")
+    val e = Mtx.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(e === Set((1L, 2L, 1.0), (2L, 2L, 2.0)))
+  }
+
+  test("symmetric batch with conflicting directions resolves deterministically (last seq wins)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = EdgeTable.of(spark, Seq((8L, 9L, 1.0), (9L, 8L, 1.0)))
+    // both directions of the SAME unordered pair in one batch with
+    // different weights: the higher seq must win in BOTH directions
+    val ins = Seq((1L, 2L, 5.0, 1L), (2L, 1L, 9.0, 2L)).toDF("src", "dst", "w", "seq")
+    val next = Batch.apply(edges, ins, spark.emptyDataFrame
+        .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0), symmetric = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(next === Set((8L, 9L, 1.0), (9L, 8L, 1.0), (1L, 2L, 9.0), (2L, 1L, 9.0)))
+  }
+
   test("bfs distances on a path graph") {
     val spark2 = spark
     import spark2.implicits._
