@@ -55,6 +55,24 @@ class AlgoSpec extends SparkSpec {
     assert(labels(0L) !== labels(7L))
   }
 
+  test("label propagation recovers a modular SBM's blocks (collapse on dense graphs is graph-truth)") {
+    // the driver's sf0.01 co-purchase graph collapses to ONE label — this
+    // pins that the collapse is epidemic behavior of that dense graph, not
+    // the incumbent-stability rule over-favoring current labels: on a
+    // modular graph LPA recovers the planted blocks exactly
+    val rnd = new Random(11)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 120; b <- a + 1 until 120) {
+      val p = if (a / 30 == b / 30) 0.3 else 0.01
+      if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
+    }
+    val edges = EdgeTable.undirected(spark, es.result())
+    val groups = LabelProp.run(edges).collect().groupBy(_.getLong(1))
+      .values.map(_.map(_.getLong(0) / 30).toSet).toList
+    assert(groups.size === 4, s"labels=${groups.size}")
+    assert(groups.forall(_.size == 1), "every label group lies within one planted block")
+  }
+
   test("triangles: two K4 + bridge = 8 triangles, 3 per clique vertex; cycle has 0 (F4)") {
     val edges = EdgeTable.undirected(spark,
       clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))

@@ -43,6 +43,18 @@ class PagesSpec extends SparkSpec {
     assert(mx > 5 * avg, s"max=$mx avg=$avg")
   }
 
+  test("p_link_edges golden: committed SHA-256 of the 500-page degree table") {
+    // the driver's p_link_edges query is rows-only (no SQL oracle over
+    // engine-generated pages); this golden pins its full content instead
+    val (e, _) = LinkExtract.edges(Pages.synthetic(spark, 500))
+    val deg = EdgeTable.degrees(EdgeTable.symmetrize(e))
+    val rows = deg.orderBy("id").collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rows.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.length === 500)
+    assert(h === "f3fbc44176e85f92d2f68955c49af4948dcf4aaa250c5c64a58d5c945b42cd3a")
+  }
+
   test("urlIds is deterministic and follows url sort order") {
     val spark2 = spark
     import spark2.implicits._
