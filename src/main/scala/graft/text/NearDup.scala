@@ -67,20 +67,29 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum of
-    * (+1/-1) votes from bit j of each token's xxhash64. Pure column
-    * expression (O(64 * tokens) per row, whole-stage codegen).
+  /** Bit masks 1L<<0 .. 1L<<63 as an array literal — Spark's shiftright
+    * only takes a Scala-Int shift amount, so per-bit work inside lambdas
+    * tests against masks instead of shifting by a lambda variable.
     */
-  def simHash(text: Column): Column =
+  private val BITMASKS = array((0 until 64).map(j => lit(1L << j)): _*)
+
+  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the summed
+    * (+1/-1) votes from bit j of each token's xxhash64. ONE hash per token
+    * (the classic formulation): a per-token 64-long vote vector is folded
+    * with zip_with, then sign bits pack through bitwise OR of the masks.
+    * Pure column expression, whole-stage codegen, O(tokens) hash calls —
+    * not O(64 x tokens) as a per-bit-seeded variant would cost.
+    */
+  def simHash(text: Column): Column = {
+    val votes = aggregate(
+      TextOps.tokens(text),
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(acc, BITMASKS, (a, m) =>
+        a + when(xxhash64(t).bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      // shiftleft (not *2): packing the sign bit into bit 63 must wrap,
-      // ANSI multiplication would raise ARITHMETIC_OVERFLOW
-      (acc, j) => shiftleft(acc, 1).bitwiseOR(when(
-        aggregate(TextOps.tokens(text), lit(0L),
-          (a, t) => a + when(xxhash64(t, j) > 0, lit(1L)).otherwise(lit(-1L))) > 0,
-        lit(1L)).otherwise(lit(0L))))
+      zip_with(votes, BITMASKS, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
