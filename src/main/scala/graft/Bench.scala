@@ -18,12 +18,12 @@ import org.apache.spark.sql.graft.PlanUtils
   * Scaling evidence for the north rule's N-vs-4N criterion (BASELINE.md):
   * the same jobs run at local[8] and local[cpus] on byte-identical input —
   * the fixture is a pure function of vertex id. Two witnesses:
-  *   - leiden superstep throughput on the 3.2M-edge fixture
-  *     (shuffle-dominated; on one box this saturates DRAM bandwidth well
+  *   - leiden superstep throughput on the same 32M-edge fixture as the
+  *     headline (shuffle-dominated; one box saturates DRAM bandwidth well
   *     below 32 threads, so it under-reports multi-node scaling), and
-  *   - simhash signature throughput (compute-dense scan+agg: 64x64
-  *     hash/accumulate per row, no shuffle — the witness whose scaling is
-  *     NOT DRAM-bound), best of 3 repetitions each.
+  *   - simhash signature throughput over 400k synthetic docs (compute-dense
+  *     scan+agg, one hash per token, no shuffle — the witness whose scaling
+  *     is NOT DRAM-bound), best of 3 repetitions each.
   *
   * Prints ONE JSON line to stdout AND writes it to BENCH_LINE.json in the
   * working directory (sbt wraps stdout in `[info] ` prefixes, which broke
@@ -83,25 +83,19 @@ object Bench {
     nDocs.toDouble / best
   }
 
-  /** Run both scaling witnesses in a fresh local[cores] session. */
-  private def scalingPoint(cores: Int, smallVerts: Long): (Double, Double) = {
-    val s = Sessions.local(cores, s"graft-bench-scale-$cores")
-    try {
-      val sh = simHashThroughput(s, 200000L)
-      val (eps, _, _) = leidenSuperstepThroughput(s, smallVerts, iters = 2)
-      (sh, eps)
-    } finally {
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
+  private def freshSession(cores: Int, name: String): SparkSession =
+    Sessions.local(cores, name)
+
+  private def stopSession(s: SparkSession): Unit = {
+    s.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val fixtureVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERTS", "2000000").toLong
-    val scaleVerts = sys.env.getOrElse("SPARK_GRAFT_SCALE_VERTS", "200000").toLong
     val spark = Sessions.local(cpus, "graft-bench")
 
     val queries = SparkEntry.queries
@@ -115,14 +109,22 @@ object Bench {
 
     val (eps, fixtureEdgeCount, supersteps) =
       leidenSuperstepThroughput(spark, fixtureVerts, iters = 2, reps = 2)
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
+    val shHi0 = simHashThroughput(spark, 400000L)
+    stopSession(spark)
 
-    // Scaling pair: identical jobs at local[8] and local[cpus].
+    // Scaling pair: the SAME jobs on the SAME 32M-edge input at local[8] —
+    // the hi points reuse the measurements above (leiden: best-of-2
+    // headline; lo is a single repetition, biasing efficiency DOWN, never up)
     val loCores = math.min(8, cpus)
-    val (shLo, epsLo) = scalingPoint(loCores, scaleVerts)
-    val (shHi, epsHi) = if (cpus == loCores) (shLo, epsLo) else scalingPoint(cpus, scaleVerts)
+    val (shLo, epsLo) = {
+      val s = freshSession(loCores, s"graft-bench-scale-$loCores")
+      try {
+        val sh = simHashThroughput(s, 400000L)
+        val (e, _, _) = leidenSuperstepThroughput(s, fixtureVerts, iters = 2)
+        (sh, e)
+      } finally stopSession(s)
+    }
+    val (shHi, epsHi) = (shHi0, eps)
     val factor = cpus.toDouble / loCores
     def eff(lo: Double, hi: Double) = if (lo > 0) hi / lo / factor else 0.0
 

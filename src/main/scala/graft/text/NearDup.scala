@@ -12,10 +12,19 @@ object NearDup {
 
   /** MinHash signature: for hash function i, min over the shingle set of
     * xxhash64(shingle, i). Returns array<long> of length `numHashes`.
+    *
+    * Single traversal: one fold over the shingle array maintains all
+    * `numHashes` running minima. The transpose formulation
+    * (transform(hashes, i => array_min(transform(arr, ...)))) walks the
+    * array numHashes times per row — and worse, it statically references
+    * `shingleArr` only once, so CollapseProject happily inlines a whole
+    * shingling expression there and recomputes IT numHashes times per row.
     */
   def minHash(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+    aggregate(shingleArr,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(s, i))))
 
   /** MinHash + banded LSH candidate pairs.
     *
