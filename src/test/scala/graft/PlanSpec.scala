@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan property checks: the scale story rests on these plan
+  * shapes, so they are pinned as tests rather than trusted from memory.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3: the customer dimension broadcasts (no shuffle of orders for the join)") {
+    assert(planOf("q3_seg_counts").contains("BroadcastHashJoin"))
+  }
+
+  test("d_token_stats: parquet scan prunes to exactly the referenced columns") {
+    val plan = planOf("d_token_stats")
+    assert(plan.contains("ReadSchema"))
+    // the documents table carries more columns (url, lang, ...); the quality
+    // scan must read only doc_id + text
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("url") && !read.contains("lang"), read)
+  }
+
+  test("q1: filterless agg scan is whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // execute THIS plan: AQE finalizes codegen spans on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the executed plan renders whole-stage codegen spans as "*(n) " prefixes
+    assert(plan.contains("*(") && plan.contains("isFinalPlan=true"), plan.take(500))
+    // partial + final hash aggregate = map-side combine before the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").filter(col("l_quantity") > 40)
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"), plan)
+  }
+
+  test("e_neardup scores each candidate pair exactly once (dedup before cosine)") {
+    val df = SparkEntry.queries("e_neardup")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the distinct (Aggregate on a,b) must sit BELOW the join that brings
+    // vectors back, i.e. no 'cosine' computation above which a Distinct runs
+    val distinctIdx = plan.indexOf("Aggregate [a")
+    val cosineIdx = plan.indexOf("cosine")
+    assert(distinctIdx >= 0, plan.take(800))
+    assert(cosineIdx >= 0 && cosineIdx < distinctIdx,
+      s"cosine must be computed above (before in plan text) the candidate distinct: cosine@$cosineIdx distinct@$distinctIdx")
+  }
+}

@@ -55,6 +55,23 @@ class PagesSpec extends SparkSpec {
     assert(h === "f3fbc44176e85f92d2f68955c49af4948dcf4aaa250c5c64a58d5c945b42cd3a")
   }
 
+  test("north star end-to-end: pages -> link extraction -> Leiden communities, deterministic") {
+    val (e, _) = LinkExtract.edges(Pages.synthetic(spark, 400))
+    val edges = EdgeTable.symmetrize(EdgeTable.dedup(e)).cache()
+    val r = graft.leiden.Leiden.detect(edges,
+      graft.leiden.LeidenOptions(maxIterations = 8, maxPasses = 3))
+    assert(r.communities > 1, s"communities=${r.communities}")
+    assert(r.modularity > 0, s"q=${r.modularity}")
+    assert(graft.leiden.Leiden.disconnectedCommunities(edges, r.membership) === 0L)
+    // the whole pipeline is a pure function of the page fixture: re-running
+    // must reproduce the membership exactly
+    val r2 = graft.leiden.Leiden.detect(edges,
+      graft.leiden.LeidenOptions(maxIterations = 8, maxPasses = 3))
+    assert(r2.modularity === r.modularity)
+    assert(r.membership.except(r2.membership).count() === 0L)
+    edges.unpersist()
+  }
+
   test("urlIds is deterministic and follows url sort order") {
     val spark2 = spark
     import spark2.implicits._
