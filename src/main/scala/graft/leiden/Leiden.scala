@@ -66,7 +66,9 @@ object Leiden {
       return LeidenResult(leaf, 0, 0, 0.0, leaf.count(), Map("total" -> 0L))
     }
 
-    var edges = edges0.cache()
+    // cache hash-partitioned by src: every half-sweep's gather join and the
+    // affected-neighbor join key on src, so the E-row side never re-shuffles
+    var edges = edges0.repartition(col("src")).cache()
     var leaf = PlanUtils.checkpointTruncated(verts0.select(col("id"), col("id").as("comm")))
     var gn = verts0.count()
     var tolerance = opts.tolerance

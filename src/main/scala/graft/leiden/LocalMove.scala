@@ -154,9 +154,12 @@ object LocalMove {
 
     // neighbors of moved vertices become affected
     // (/root/reference/inc/leiden.hxx:427-429); a visited mover clears its
-    // own flag unless a neighbor moved too.
-    val movedDst = best.select(col("id").as("dst"))
-    val affNext = edges.join(movedDst, "dst").select(col("src").as("id")).distinct()
+    // own flag unless a neighbor moved too. The edge table is symmetric
+    // (Leiden's input contract), so "srcs of edges INTO moved" equals
+    // "dsts of edges FROM moved" — join on src, which reuses the edge
+    // cache's src-hash partitioning instead of shuffling all E rows by dst.
+    val movedSrc = best.select(col("id").as("src"))
+    val affNext = edges.join(movedSrc, "src").select(col("dst").as("id")).distinct()
       .withColumn("affN", lit(true))
 
     val next = PlanUtils.checkpointTruncated(
