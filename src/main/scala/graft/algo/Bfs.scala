@@ -18,6 +18,7 @@ object Bfs {
     var visited = PlanUtils.checkpointTruncated(
       sources.select(col("id"), lit(0).as("dist")))
     var frontier = visited.select("id")
+    var ownFrontier = false // first frontier shares the visited checkpoint
     var depth = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && depth < maxDepth) {
@@ -27,11 +28,16 @@ object Bfs {
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti"))
       frontierSize = next.count()
+      // the old frontier's blocks are dead once `next` is materialized
+      if (ownFrontier) PlanUtils.release(frontier)
       if (frontierSize > 0) {
-        visited = PlanUtils.checkpointTruncated(
+        val nv = PlanUtils.checkpointTruncated(
           visited.unionByName(next.select(col("id"), lit(depth).as("dist"))))
+        PlanUtils.release(visited)
+        visited = nv
         frontier = next
-      }
+        ownFrontier = true
+      } else PlanUtils.release(next)
     }
     e.unpersist()
     visited

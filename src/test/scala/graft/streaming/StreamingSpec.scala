@@ -60,4 +60,28 @@ class StreamingSpec extends SparkSpec {
     // the 100s event arrives
     assert(sessions.contains(EventStreams.Session(7L, 2, 0L, 1000L)))
   }
+
+  test("sessionizeBatch emits every session, a superset of the streaming path's closed ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val evs = Seq(
+      EventStreams.Event(1, ts(0), 7L, "view", 1.0),
+      EventStreams.Event(2, ts(1000), 7L, "click", 1.0),
+      EventStreams.Event(3, ts(100000000), 7L, "view", 1.0), // >1800s later
+      EventStreams.Event(4, ts(500), 8L, "view", 1.0)).toDS()
+    val batch = EventStreams.sessionizeBatch(evs.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // sessionizeBatch (default gap 1800s, epoch-second granularity) closes
+    // user 7's first session AND emits the trailing open ones the streaming
+    // operator can never flush under batch execution
+    assert(batch === Set(
+      (7L, 2L, 0L, 1L),       // closed: events at 0ms and 1000ms
+      (7L, 1L, 100000L, 100000L), // the trailing session streaming would hold open
+      (8L, 1L, 0L, 0L)))
+    // streaming path's closed sessions correspond to a subset
+    val closed = EventStreams.sessionize(evs, gapMs = 1800000).collect()
+    assert(closed.map(s => (s.user_id, s.n_events.toLong)).toSet.subsetOf(
+      batch.map(b => (b._1, b._2))))
+  }
 }
