@@ -163,6 +163,12 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ann.lshTopK(queries, corpus, 5).drop("cosine")
     }),
+    "e_ann_ivf" -> ((s, dir) => { // rows-only: approximate
+      val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopK(queries, corpus, 5).drop("cosine")
+    }),
     "e_neardup" -> ((s, dir) => // rows-only: float threshold
       Ann.cosineNearDupPairs(emb(s, dir), 0.4)),
     // --- events ---------------------------------------------------------

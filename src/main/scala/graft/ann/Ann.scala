@@ -81,6 +81,56 @@ object Ann {
       .select("qid", "id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: the scale path for
+    * billion-vector corpora. `nlist` coarse centroids are chosen
+    * DETERMINISTICALLY (the corpus vectors with the smallest xxhash64(id) —
+    * a seeded uniform sample, no RNG state, identical on every run and
+    * cluster size); every corpus vector is assigned to its nearest centroid
+    * (one pass, centroids broadcast); a query probes only the `nprobe`
+    * nearest cells and re-scores exactly within them.
+    *
+    * Scale shape: assignment is a broadcast-join scan (no shuffle of the
+    * corpus beyond the cell-key exchange); search joins queries to their
+    * probed cell ids and then equi-joins on cell id — candidates are
+    * bounded by nprobe/nlist of the corpus instead of all of it.
+    *
+    * @param queries (qid, qvec) — broadcast-sized
+    * @param corpus  (id, vec)
+    * @return (qid, id, rank, cosine), rank 1..k per query
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic centroid sample: smallest nlist hash values
+    val centroids = broadcast(
+      corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+        .orderBy("h").limit(nlist)
+        .select(col("id").as("cid"), col("vec").as("cvec")))
+    // assign each corpus vector to its nearest centroid (max cosine, ties
+    // to the smallest centroid id — deterministic)
+    val assigned = corpus.crossJoin(centroids)
+      .select(col("id"), col("vec"), col("cid"),
+        cosine(col("vec"), col("cvec")).as("sim"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("tb"), col("cid").as("cell"))).as("mx"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("mx.cell").as("cell"))
+    // each query probes its nprobe nearest cells
+    val probes = queries.crossJoin(centroids)
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * blocking + exact verification. (a, b, cosine), a < b.
     */

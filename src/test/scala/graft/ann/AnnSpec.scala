@@ -48,6 +48,29 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("IVF top-k: deterministic, bounded candidates, recall vs brute force") {
+    val df = vecsDF(120, 16, 5).cache()
+    val queries = df.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Ann.bruteForceTopK(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(queries, corpus, 3, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate: requires usable recall, not exactness
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // every query gets results; determinism across runs
+    assert(ivf.map(_._1) === (0L until 8L).toSet)
+    val ivf2 = Ann.ivfTopK(queries, corpus, 3, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 === ivf)
+    // probing ALL cells makes IVF exact == brute force
+    val full = Ann.ivfTopK(queries, corpus, 3, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute)
+  }
+
   test("cosine near-dup pairs find planted duplicates") {
     val spark2 = spark
     import spark2.implicits._
