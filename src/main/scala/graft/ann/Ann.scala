@@ -21,7 +21,16 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd cosine (graft.catalyst.ArrayCosineExpr) — one tight
+    * double-accumulation loop per pair, bit-for-bit equal to
+    * cosineReference (NativeSpec parity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeColumns.cosineSim(a, b)
+
+  /** Column-HOF formulation, the parity oracle for the native expression. */
+  private[graft] def cosineReference(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k neighbors for each query vector.
     *

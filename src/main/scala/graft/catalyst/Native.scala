@@ -1,0 +1,163 @@
+package graft.catalyst
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the hot text/vector scalar paths.
+  *
+  * The Column-expression formulations of simhash/minhash/cosine are built
+  * from higher-order functions (transform/aggregate/zip_with), which are
+  * CodegenFallback: every row pays interpreted lambda dispatch plus one
+  * boxed array allocation per step. These expressions compute the same
+  * values (bit-for-bit — pinned by parity tests against the Column
+  * versions) in one tight JVM loop per row, and their doGenCode emits a
+  * static call so they participate in whole-stage codegen like any
+  * built-in.
+  *
+  * Scala `object` methods compile with static forwarders, so generated
+  * Java can call `graft.catalyst.Kernels.xxx(...)` directly.
+  */
+object Kernels {
+
+  /** 64-bit simhash over single-space-separated tokens. Token split
+    * replicates Spark's split(text, " ") with limit -1 (empty tokens kept,
+    * including leading/trailing); token hash = xxhash64(token) with
+    * Spark's seed 42; bit j of the result = sign of the summed bit-j votes.
+    * Splitting on the raw 0x20 byte is UTF-8-safe (continuation bytes are
+    * 0x80-0xBF).
+    */
+  def simHash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** MinHash signature over a string array: sig(i) = min over elements of
+    * xxhash64(element, i) — Spark's two-argument xxhash64 folds the hash
+    * index through the string's hash as the seed. The Column formulation
+    * draws i from sequence(0, k-1), which is IntegerType, so the fold step
+    * is hashInt (NOT hashLong — parity-checked). Empty arrays yield
+    * all-Long.MaxValue (same as the Column fold's zero value).
+    */
+  def minHashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var idx = 0
+    while (idx < n) {
+      val s = arr.getUTF8String(idx)
+      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, h0)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      idx += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Cosine similarity in double precision, accumulating left-to-right in
+    * the same order as the zip_with/aggregate formulation (bit-identical
+    * results on equal-length inputs). Length mismatch yields NaN.
+    */
+  def cosine(a: ArrayData, b: ArrayData, floatElems: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
+    var dot = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (floatElems) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_simhash64 expects string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_minhash_sig expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class ArrayCosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case other => other
+  }
+  private lazy val floatElems = elemType(left) == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && elemType(left) == elemType(right)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects two array<float> or two array<double>, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.Kernels.cosine($a, $b, $floatElems)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosineExpr =
+    copy(left = l, right = r)
+}

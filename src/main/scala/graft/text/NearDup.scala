@@ -13,14 +13,23 @@ object NearDup {
   /** MinHash signature: for hash function i, min over the shingle set of
     * xxhash64(shingle, i). Returns array<long> of length `numHashes`.
     *
-    * Single traversal: one fold over the shingle array maintains all
-    * `numHashes` running minima. The transpose formulation
-    * (transform(hashes, i => array_min(transform(arr, ...)))) walks the
-    * array numHashes times per row — and worse, it statically references
-    * `shingleArr` only once, so CollapseProject happily inlines a whole
-    * shingling expression there and recomputes IT numHashes times per row.
+    * Native codegen'd expression (graft.catalyst.MinHashSigExpr): one tight
+    * loop per row maintaining all minima. Bit-for-bit equal to
+    * minHashReference (pinned by NativeSpec).
     */
   def minHash(shingleArr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.NativeColumns.minhashSig(shingleArr, numHashes)
+
+  /** The Column-HOF formulation, kept as the independently-derived parity
+    * oracle for the native expression. Single traversal: one fold over the
+    * shingle array maintains all `numHashes` running minima. (The transpose
+    * formulation — transform(hashes, i => array_min(transform(arr, ...))) —
+    * walks the array numHashes times per row, and worse, it statically
+    * references `shingleArr` only once, so CollapseProject happily inlines
+    * a whole shingling expression there and recomputes IT numHashes times
+    * per row.)
+    */
+  private[graft] def minHashReference(shingleArr: Column, numHashes: Int): Column =
     aggregate(shingleArr,
       transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
       (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
@@ -83,13 +92,20 @@ object NearDup {
   private val BITMASKS = array((0 until 64).map(j => lit(1L << j)): _*)
 
   /** 64-bit SimHash over whitespace tokens: bit j is the sign of the summed
-    * (+1/-1) votes from bit j of each token's xxhash64. ONE hash per token
-    * (the classic formulation): a per-token 64-long vote vector is folded
-    * with zip_with, then sign bits pack through bitwise OR of the masks.
-    * Pure column expression, whole-stage codegen, O(tokens) hash calls —
-    * not O(64 x tokens) as a per-bit-seeded variant would cost.
+    * (+1/-1) votes from bit j of each token's xxhash64. Native codegen'd
+    * expression (graft.catalyst.SimHash64Expr) — one hash per token, one
+    * tight loop per row. Bit-for-bit equal to simHashReference (NativeSpec).
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    org.apache.spark.sql.graft.NativeColumns.simhash64(text)
+
+  /** The Column-HOF formulation, kept as the independently-derived parity
+    * oracle for the native expression: a per-token 64-long vote vector is
+    * folded with zip_with, then sign bits pack through bitwise OR of the
+    * masks — O(tokens) hash calls, not O(64 x tokens) as a per-bit-seeded
+    * variant would cost.
+    */
+  private[graft] def simHashReference(text: Column): Column = {
     val votes = aggregate(
       TextOps.tokens(text),
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),

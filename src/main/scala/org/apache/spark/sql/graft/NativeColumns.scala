@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import graft.catalyst.{ArrayCosineExpr, MinHashSigExpr, SimHash64Expr}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column-API surface for graft's native Catalyst expressions. Lives under
+  * org.apache.spark.sql to reach the private[sql] Column <-> Expression
+  * bridge (same device as PlanUtils).
+  */
+object NativeColumns {
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles), numHashes))
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

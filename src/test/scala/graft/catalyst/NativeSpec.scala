@@ -1,0 +1,69 @@
+package graft.catalyst
+
+import graft.SparkSpec
+import graft.text.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeColumns
+
+class NativeSpec extends SparkSpec {
+
+  // adversarial token shapes: multi-space, leading/trailing, empty,
+  // unicode (multi-byte UTF-8 around the 0x20 split), single token
+  private val texts = Seq(
+    "the cat sat on the mat",
+    "a  double  space",
+    " leading",
+    "trailing ",
+    "",
+    " ",
+    "solo",
+    "naïve café 统一 码 标准",
+    "a b c d e f g h i j k l m n o p")
+
+  private def df = {
+    val spark2 = spark
+    import spark2.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("native simhash64 equals the Column HOF formulation bit-for-bit") {
+    val rows = df.select(col("id"),
+      NearDup.simHashReference(col("text")).as("hof"),
+      NativeColumns.simhash64(col("text")).as("native")).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"text=${texts(r.getLong(0).toInt)}"))
+  }
+
+  test("native minhash signature equals the Column HOF formulation bit-for-bit") {
+    val sh = TextOps.shingles(col("text"), 2)
+    val rows = df.select(col("id"),
+      NearDup.minHashReference(sh, 16).as("hof"),
+      NativeColumns.minhashSig(sh, 16).as("native")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"text=${texts(r.getLong(0).toInt)}")
+    }
+  }
+
+  test("native cosine equals the zip_with/aggregate formulation bit-for-bit (float arrays)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(24)(rnd.nextFloat() * 2 - 1), Array.fill(24)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val rows = vecs.select(
+      graft.ann.Ann.cosineReference(col("a"), col("b")).as("hof"),
+      NativeColumns.cosineSim(col("a"), col("b")).as("native")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // parquet-backed input: a local Seq would be constant-folded by
+    // ConvertToLocalRelation before any physical plan exists
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.select(NativeColumns.simhash64(col("text")).as("s"),
+      NativeColumns.minhashSig(TextOps.shingles(col("text"), 2), 8).as("m"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan) // codegen span marker
+  }
+}
