@@ -9,6 +9,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * bridge (same device as PlanUtils).
   */
 object NativeColumns {
+
+  /** Register the graft_* SQL functions on a LIVE session (the
+    * SparkSessionExtensions path in graft.catalyst.GraftSparkExtensions
+    * only applies at session construction; getOrCreate ignores it once a
+    * session exists).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.catalyst.GraftSparkExtensions()(ext)
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ext.registerFunctions(classicSpark.sessionState.functionRegistry)
+  }
+
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
   def minhashSig(shingles: Column, numHashes: Int): Column =

@@ -56,6 +56,21 @@ class NativeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("SQL surface: graft_* functions registered via the extensions hook") {
+    org.apache.spark.sql.graft.NativeColumns.register(spark)
+    df.createOrReplaceTempView("native_probe")
+    val rows = spark.sql(
+      """SELECT id, graft_simhash64(text) AS s,
+        |       graft_minhash_sig(split(text, ' '), 4) AS m
+        |FROM native_probe""".stripMargin).collect()
+    val direct = df.select(col("id"), NativeColumns.simhash64(col("text")).as("s"),
+      NativeColumns.minhashSig(split(col("text"), " "), 4).as("m")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      direct.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Long](2))).toSet ===
+      direct.map(r => (r.getLong(0), r.getSeq[Long](2))).toSet)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // parquet-backed input: a local Seq would be constant-folded by
     // ConvertToLocalRelation before any physical plan exists
