@@ -146,6 +146,9 @@ object SparkEntry {
         .select(col("a"), col("b"), col("inter"), col("union").as("u"))),
     "d_fingerprint" -> ((s, dir) => // oracle: md5-derived rolling hash
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "d_subwords" -> ((s, dir) => // oracle: BPE-ish regex subword count
+      docs(s, dir).select(col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "d_minhash_pairs" -> ((s, dir) => // rows-only: engine-specific hash
       NearDup.minHashLshPairs(docs(s, dir), threshold = 0.2)),
     "d_simhash_pairs" -> ((s, dir) => // rows-only: engine-specific hash
@@ -280,6 +283,11 @@ object SparkEntry {
         |  list_transform(string_split(text, ' '),
         |    t -> CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 2147483647)),
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "d_subwords" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) +
+        |       len(list_filter(regexp_split_to_array(text, '[A-Za-z0-9\s]+'), x -> len(x) > 0)) AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
     "ev_sessions" ->
       """WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
