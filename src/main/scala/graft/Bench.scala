@@ -13,7 +13,8 @@ import org.apache.spark.sql.graft.PlanUtils
   * deterministic hub-skewed web fixture (one iteration = the even+odd
   * half-sweep pair over the whole affected frontier), measured on the
   * 32M-edge fixture (2M vertices) at the session's parallelism, best of
-  * two measured repetitions (single-box run-to-run variance is +-40%).
+  * three measured repetitions (the first window in a fresh JVM runs ~30%
+  * cold; cross-run variance on this shared-host sandbox reaches 2-3x).
   *
   * Scaling evidence for the north rule's N-vs-4N criterion (BASELINE.md):
   * the same jobs run at local[8] and local[cpus] on byte-identical input —
@@ -21,7 +22,7 @@ import org.apache.spark.sql.graft.PlanUtils
   *   - leiden superstep throughput on the same 32M-edge fixture as the
   *     headline (shuffle-dominated; one box saturates DRAM bandwidth well
   *     below 32 threads, so it under-reports multi-node scaling), and
-  *   - simhash signature throughput over 400k synthetic docs (compute-dense
+  *   - simhash signature throughput over 4M synthetic docs (compute-dense
   *     scan+agg, one hash per token, no shuffle — the witness whose scaling
   *     is NOT DRAM-bound), best of 3 repetitions each.
   *
@@ -108,18 +109,18 @@ object Bench {
     }
 
     val (eps, fixtureEdgeCount, supersteps) =
-      leidenSuperstepThroughput(spark, fixtureVerts, iters = 2, reps = 2)
-    val shHi0 = simHashThroughput(spark, 400000L)
+      leidenSuperstepThroughput(spark, fixtureVerts, iters = 2, reps = 3)
+    val shHi0 = simHashThroughput(spark, 4000000L)
     stopSession(spark)
 
     // Scaling pair: the SAME jobs on the SAME 32M-edge input at local[8] —
-    // the hi points reuse the measurements above (leiden: best-of-2
+    // the hi points reuse the measurements above (leiden: best-of-3
     // headline; lo is a single repetition, biasing efficiency DOWN, never up)
     val loCores = math.min(8, cpus)
     val (shLo, epsLo) = {
       val s = freshSession(loCores, s"graft-bench-scale-$loCores")
       try {
-        val sh = simHashThroughput(s, 400000L)
+        val sh = simHashThroughput(s, 4000000L)
         val (e, _, _) = leidenSuperstepThroughput(s, fixtureVerts, iters = 2)
         (sh, e)
       } finally stopSession(s)
