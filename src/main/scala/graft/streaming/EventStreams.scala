@@ -47,6 +47,12 @@ object EventStreams {
     * processing-time timeout cannot fire and final state is discarded), so
     * batch callers must use this one.
     *
+    * Scale note: the window partitions by user_id, so one pathological
+    * user's full history lands in a single task (sessionization is
+    * inherently per-user sequential). At web scale, pre-filter bot-grade
+    * users (count > threshold) before sessionizing, or bound history by a
+    * time window — both compose as plain filters in front of this operator.
+    *
     * @return (user_id, session_id, n_events, start_s, end_s) — integers
     *         only (epoch seconds), hash-stable across engines
     */

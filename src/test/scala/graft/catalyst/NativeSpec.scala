@@ -56,6 +56,27 @@ class NativeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("property: native kernels equal HOF forms on 200 seeded random texts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ab c  déf_統1!\t" // spaces, double spaces, multi-byte, punctuation
+    val randomTexts = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val rdf = randomTexts.toDF("id", "text")
+    val sh = TextOps.shingles(col("text"), 2)
+    val rows = rdf.select(col("id"),
+      NearDup.simHashReference(col("text")).as("s1"),
+      NativeColumns.simhash64(col("text")).as("s2"),
+      NearDup.minHashReference(sh, 8).as("m1"),
+      NativeColumns.minhashSig(sh, 8).as("m2")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"simhash id=${r.getLong(0)}")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4), s"minhash id=${r.getLong(0)}")
+    }
+  }
+
   test("SQL surface: graft_* functions registered via the extensions hook") {
     org.apache.spark.sql.graft.NativeColumns.register(spark)
     df.createOrReplaceTempView("native_probe")
