@@ -94,6 +94,42 @@ object Leiden {
     val firstPass = pass
 
     while (!done && pass < opts.maxPasses) {
+      // Local tail: once the (coarsened) graph fits the driver threshold,
+      // finish all remaining passes in the sequential twin of these sweeps
+      // — per-superstep Spark job scheduling dominates sub-threshold
+      // graphs. Semantics identical (LocalSolver scaladoc); exact-weight
+      // graphs produce bit-identical memberships (pinned by LeidenSpec).
+      if (opts.localSolveEdgeThreshold > 0 &&
+        edges.count() <= opts.localSolveEdgeThreshold) {
+        val warm = pass == firstPass && !resumed
+        val local = timed("localtail") {
+          val arr = edges.select(col("src").cast("long"), col("dst").cast("long"),
+              col("w").cast("double"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val init =
+            if (warm) prevMembership.map(_.select(col("id").cast("long"), col("comm").cast("long"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+              .getOrElse(Map.empty[Long, Long])
+            else Map.empty[Long, Long]
+          val affSet =
+            if (warm) affected.map(a => a.select(col(a.columns.head).cast("long"))
+              .collect().map(_.getLong(0)).toSet)
+            else None
+          LocalSolver.solve(arr, m, opts, tolerance, opts.maxPasses - pass, init, affSet)
+        }
+        totalIters += local.iterations
+        pass += local.passes
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("comm", org.apache.spark.sql.types.LongType, nullable = false)))
+        val lvl = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            local.leaf.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 4), schema)
+        val prevLeaf = leaf
+        leaf = PlanUtils.checkpointTruncated(Aggregate.compose(leaf, lvl))
+        PlanUtils.release(prevLeaf)
+        done = true
+      } else {
       // sketch auto-fallback: exact scan/coarsening once the pass graph is
       // small — the sketch's candidate filter exists to bound hub-vertex
       // aggregation state, not to slow down broadcast-sized graphs
@@ -190,6 +226,7 @@ object Leiden {
         }
       }
       PlanUtils.release(refMemb)
+      } // end distributed pass
     }
 
     val communities = leaf.select("comm").distinct().count()

@@ -64,6 +64,31 @@ class LeidenSpec extends SparkSpec {
     assert(r.membership.except(r2.membership).count() === 0L)
   }
 
+  test("driver-local tail solver equals the distributed path bit-for-bit on exact-weight graphs") {
+    val ring = {
+      val k = 6; val s = 5
+      val cliques = (0 until k).flatMap(c => clique((c * s).toLong until (c * s + s).toLong))
+      val bridge = (0 until k).map(c => ((c * s).toLong, (((c + 1) % k) * s + 1).toLong, 1.0))
+      EdgeTable.undirected(spark, cliques ++ bridge)
+    }
+    val sbm = {
+      val rnd = new Random(42)
+      val es = Seq.newBuilder[(Long, Long, Double)]
+      for (a <- 0 until 120; b <- a + 1 until 120)
+        if (rnd.nextDouble() < (if (a / 30 == b / 30) 0.3 else 0.01)) es += ((a.toLong, b.toLong, 1.0))
+      EdgeTable.undirected(spark, es.result())
+    }
+    for ((name, edges) <- Seq("ring" -> ring, "sbm" -> sbm)) {
+      val local = Leiden.detect(edges) // default threshold: whole run is local
+      val dist = Leiden.detect(edges, LeidenOptions(localSolveEdgeThreshold = 0))
+      assert(local.modularity === dist.modularity, s"$name: ${local.modularity} vs ${dist.modularity}")
+      assert(local.membership.except(dist.membership).count() === 0L, name)
+      assert(dist.membership.except(local.membership).count() === 0L, name)
+      assert(local.iterations === dist.iterations, s"$name iter parity")
+      assert(local.passes === dist.passes, s"$name pass parity")
+    }
+  }
+
   test("kill-and-resume: continuing from a pass snapshot reproduces the full run (M6)") {
     val rnd = new Random(7)
     val es = Seq.newBuilder[(Long, Long, Double)]
@@ -72,15 +97,18 @@ class LeidenSpec extends SparkSpec {
       if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
     }
     val edges = EdgeTable.undirected(spark, es.result()).cache()
-    val full = Leiden.detect(edges)
+    // distributed machinery under test: disable the driver-local tail
+    val full = Leiden.detect(edges, LeidenOptions(localSolveEdgeThreshold = 0))
     val dir = java.nio.file.Files.createTempDirectory("resume").toString
     // "kill" after the first aggregation: cap passes so only early
     // snapshots are committed
-    val partial = Leiden.detect(edges, LeidenOptions(maxPasses = 2, snapshotDir = Some(dir)))
+    val partial = Leiden.detect(edges, LeidenOptions(maxPasses = 2, snapshotDir = Some(dir),
+      localSolveEdgeThreshold = 0))
     assert(graft.io.Snapshots.committed(dir, "leiden").nonEmpty)
     // resume picks up the last committed pass and must land on the exact
     // same final membership as the uninterrupted run
-    val resumed = Leiden.detect(edges, LeidenOptions(snapshotDir = Some(dir)))
+    val resumed = Leiden.detect(edges, LeidenOptions(snapshotDir = Some(dir),
+      localSolveEdgeThreshold = 0))
     assert(resumed.modularity === full.modularity)
     assert(resumed.membership.except(full.membership).count() === 0L)
     assert(full.membership.except(resumed.membership).count() === 0L)
@@ -101,12 +129,13 @@ class LeidenSpec extends SparkSpec {
     val ins = (12L to 17L).map(v => (0L, v, 1.0)).toDF("src", "dst", "w")
     val updated = graft.graph.Batch.apply(edges, ins, dels, symmetric = true).cache()
 
-    val scratch = Leiden.detect(updated)
+    // distributed fm/fi wiring under test: disable the driver-local tail
+    val scratch = Leiden.detect(updated, LeidenOptions(localSolveEdgeThreshold = 0))
     // fm hook: only the batch's endpoints start affected; fi hook: communities
     // start from the previous membership
     val touched = (Seq(0L) ++ (1L to 5L) ++ (12L to 17L)).toDF("id")
-    val inc = Leiden.detect(updated, prevMembership = Some(r0.membership),
-      affected = Some(touched))
+    val inc = Leiden.detect(updated, LeidenOptions(localSolveEdgeThreshold = 0),
+      prevMembership = Some(r0.membership), affected = Some(touched))
 
     def partition(m: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
       m.collect().groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).toSet).toSet

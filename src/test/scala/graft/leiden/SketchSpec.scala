@@ -46,7 +46,7 @@ class SketchSpec extends SparkSpec {
     for (k <- Seq(64, 1)) {
       // sketchExactCutoff = 0: force the sketch path at toy size (the
       // default falls back to the exact scan below 8192 vertices)
-      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k, sketchExactCutoff = 0))
+      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k, sketchExactCutoff = 0, localSolveEdgeThreshold = 0))
       assert(r.communities === 2L, s"k=$k communities=${r.communities}")
       assert(approx(r.modularity, 11.0 / 26.0, 1e-9), s"k=$k q=${r.modularity}")
     }
@@ -56,8 +56,8 @@ class SketchSpec extends SparkSpec {
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b, 1.0)
     val edges = EdgeTable.undirected(spark,
       clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
-    val exact = Leiden.detect(edges)
-    val lowmem = Leiden.detect(edges, LeidenOptions(sketchSlots = 64)) // default cutoff 8192 > 8
+    val exact = Leiden.detect(edges, LeidenOptions(localSolveEdgeThreshold = 0))
+    val lowmem = Leiden.detect(edges, LeidenOptions(sketchSlots = 64, localSolveEdgeThreshold = 0)) // default cutoff 8192 > 8
     assert(lowmem.modularity === exact.modularity)
     assert(lowmem.membership.except(exact.membership).count() === 0L)
   }
@@ -85,10 +85,11 @@ class SketchSpec extends SparkSpec {
       if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
     }
     val edges = EdgeTable.undirected(spark, es.result())
-    val exact = Leiden.detect(edges)
+    val exact = Leiden.detect(edges, LeidenOptions(localSolveEdgeThreshold = 0))
     // 12 blocks: each coarse community sees ~12 neighbor communities, above
     // the aggregation sketch's 8-slot floor, so coarsening MUST evict
-    val lossy = Leiden.detect(edges, LeidenOptions(sketchSlots = 8, sketchExactCutoff = 0))
+    val lossy = Leiden.detect(edges, LeidenOptions(sketchSlots = 8, sketchExactCutoff = 0,
+      localSolveEdgeThreshold = 0))
     // one-sided: the lossy path may not LOSE more than 1% of exact Q (it
     // may land higher — both are valid local optima of the same objective)
     assert(lossy.modularity >= exact.modularity - 0.01 * math.abs(exact.modularity),
