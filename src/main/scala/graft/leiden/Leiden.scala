@@ -99,7 +99,10 @@ object Leiden {
       // — per-superstep Spark job scheduling dominates sub-threshold
       // graphs. Semantics identical (LocalSolver scaladoc); exact-weight
       // graphs produce bit-identical memberships (pinned by LeidenSpec).
-      if (opts.localSolveEdgeThreshold > 0 &&
+      // Snapshot-enabled runs keep the distributed path throughout: the
+      // per-pass durability contract (resume from the last committed pass)
+      // outranks the tail's fixed-cost saving.
+      if (opts.localSolveEdgeThreshold > 0 && opts.snapshotDir.isEmpty &&
         edges.count() <= opts.localSolveEdgeThreshold) {
         val warm = pass == firstPass && !resumed
         val local = timed("localtail") {
