@@ -12,9 +12,10 @@ import org.apache.spark.sql.graft.PlanUtils
   * Headline: Leiden local-move throughput in edges/sec/iteration on the
   * deterministic hub-skewed web fixture (one iteration = the even+odd
   * half-sweep pair over the whole affected frontier), measured on the
-  * 32M-edge fixture (2M vertices) at the session's parallelism, best of
-  * three measured repetitions (the first window in a fresh JVM runs ~30%
-  * cold; cross-run variance on this shared-host sandbox reaches 2-3x).
+  * 32M-edge fixture (2M vertices). Every repetition restarts from the SAME
+  * post-warmup state, so best-of-N compares identical windows of work —
+  * carrying the state across repetitions would let later reps sweep an
+  * already-converged (mostly unaffected) frontier and inflate the number.
   *
   * Scaling evidence for the north rule's N-vs-4N criterion (BASELINE.md):
   * the same jobs run at local[8] and local[cpus] on byte-identical input —
@@ -24,7 +25,14 @@ import org.apache.spark.sql.graft.PlanUtils
   *     below 32 threads, so it under-reports multi-node scaling), and
   *   - simhash signature throughput over 4M synthetic docs (compute-dense
   *     scan+agg, one hash per token, no shuffle — the witness whose scaling
-  *     is NOT DRAM-bound), best of 3 repetitions each.
+  *     is NOT DRAM-bound).
+  * Measurement discipline (round-2 artifact showed a physically-impossible
+  * 1.889 efficiency from a cold lo point): the lo and hi points run in
+  * ADJACENT fresh sessions with identical reps (best-of-3 each, warmup
+  * inside each measurement), and any pair whose computed efficiency
+  * exceeds 1.05 on the 4x core ratio triggers a lo remeasure (keeping the
+  * fastest lo) — a >1 efficiency can only be a measurement artifact, never
+  * a real property of the same job on fewer cores.
   *
   * Prints ONE JSON line to stdout AND writes it to BENCH_LINE.json in the
   * working directory (sbt wraps stdout in `[info] ` prefixes, which broke
@@ -38,26 +46,38 @@ object Bench {
     "d_ngram_overlap", "d_minhash_pairs", "d_simhash_pairs",
     "e_ann_topk", "ev_window")
 
+  /** Measured leiden point: edges/sec/iteration over `iters` full
+    * iterations, best of `reps` identical windows (each window restarts
+    * from the same materialized post-warmup state).
+    */
   def leidenSuperstepThroughput(spark: SparkSession, nVerts: Long, iters: Int,
-                                reps: Int = 1): (Double, Long, Double) = {
+                                reps: Int = 3): (Double, Long, Double) = {
     val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
     val e = edges.count()
     val m = EdgeTable.totalWeight(edges) / 2
     val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
-    var state = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
-    // warmup: one half-sweep primes codegen + the edge cache
-    state = LocalMove.sweep(edges, state, m, 1.0, 0).state
+    val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+    // warmup half-sweep primes codegen + the edge cache; its materialized
+    // result is the FIXED starting state of every repetition
+    val warm = LocalMove.sweep(edges, init, m, 1.0, 0).state
     var bestSecs = Double.MaxValue
     for (_ <- 1 to reps) {
+      var state = warm
       val t0 = System.nanoTime()
       var done = 0
       while (done < iters) {
-        state = LocalMove.sweep(edges, state, m, 1.0, 1).state
-        state = LocalMove.sweep(edges, state, m, 1.0, 0).state
+        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1).state
+        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0).state
+        if ((state ne warm) && (state ne s1) && (state ne s2)) PlanUtils.release(state)
+        if ((s1 ne warm) && (s1 ne s2)) PlanUtils.release(s1)
+        state = s2
         done += 1
       }
       bestSecs = math.min(bestSecs, (System.nanoTime() - t0) / 1e9)
+      if (state ne warm) PlanUtils.release(state)
     }
+    PlanUtils.release(warm)
+    PlanUtils.release(vtot)
     edges.unpersist()
     (e.toDouble * iters / bestSecs, e, bestSecs)
   }
@@ -93,6 +113,18 @@ object Bench {
     SparkSession.clearDefaultSession()
   }
 
+  /** Both witnesses at one core count, in one fresh session:
+    * (simhash docs/s, leiden eps, fixture edges, superstep secs).
+    */
+  private def measurePoint(cores: Int, fixtureVerts: Long): (Double, Double, Long, Double) = {
+    val s = freshSession(cores, s"graft-bench-scale-$cores")
+    try {
+      val sh = simHashThroughput(s, 4000000L)
+      val (eps, ec, secs) = leidenSuperstepThroughput(s, fixtureVerts, iters = 2)
+      (sh, eps, ec, secs)
+    } finally stopSession(s)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -100,46 +132,59 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
 
     val queries = SparkEntry.queries
+    var leidenPhases: Map[String, Long] = Map.empty
     val timedSet = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty else TimedQueries
     val results = timedSet.map { name =>
       val t0 = System.nanoTime()
-      val n = try queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+      val n = try {
+        if (name == "g_leiden") {
+          // same query as SparkEntry's g_leiden, run directly so the
+          // per-phase wall times (the reference's log schema,
+          // /root/reference/main.cxx:54-60) land in the bench line
+          val r = graft.leiden.Leiden.detect(SparkEntry.copurchaseSym(spark, sfDir),
+            graft.leiden.LeidenOptions(maxIterations = 8, maxPasses = 4, minMovedFraction = 1e-3))
+          leidenPhases = r.phaseMillis
+          r.membership.groupBy("comm").agg(count(lit(1)).as("size")).count()
+        } else queries(name)(spark, sfDir).count()
+      } catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> ((System.nanoTime() - t0) / 1e9, n)
     }
-
-    val (eps, fixtureEdgeCount, supersteps) =
-      leidenSuperstepThroughput(spark, fixtureVerts, iters = 2, reps = 3)
-    val shHi0 = simHashThroughput(spark, 4000000L)
     stopSession(spark)
 
-    // Scaling pair: the SAME jobs on the SAME 32M-edge input at local[8] —
-    // the hi points reuse the measurements above (leiden: best-of-3
-    // headline; lo is a single repetition, biasing efficiency DOWN, never up)
+    // Scaling pair: lo then hi in adjacent fresh sessions, identical
+    // reps/warmup discipline (scaladoc above). The hi leiden point doubles
+    // as the headline eps.
     val loCores = math.min(8, cpus)
-    val (shLo, epsLo) = {
-      val s = freshSession(loCores, s"graft-bench-scale-$loCores")
-      try {
-        val sh = simHashThroughput(s, 4000000L)
-        val (e, _, _) = leidenSuperstepThroughput(s, fixtureVerts, iters = 2)
-        (sh, e)
-      } finally stopSession(s)
-    }
-    val (shHi, epsHi) = (shHi0, eps)
     val factor = cpus.toDouble / loCores
     def eff(lo: Double, hi: Double) = if (lo > 0) hi / lo / factor else 0.0
+    var (shLo, epsLo, _, _) = measurePoint(loCores, fixtureVerts)
+    var (shHi, epsHi, fixtureEdgeCount, supersteps) = measurePoint(cpus, fixtureVerts)
+    // sanity guard: efficiency > 1.05 over a 4x core step is physically
+    // meaningless — it can only mean the lo point ran cold. Remeasure lo
+    // (bounded retries), keeping the fastest lo observation.
+    var tries = 0
+    while (tries < 2 && (eff(shLo, shHi) > 1.05 || eff(epsLo, epsHi) > 1.05)) {
+      val (sh2, eps2, _, _) = measurePoint(loCores, fixtureVerts)
+      shLo = math.max(shLo, sh2)
+      epsLo = math.max(epsLo, eps2)
+      tries += 1
+    }
+    val (eps, _) = (epsHi, fixtureEdgeCount)
 
     val qs = results.map { case (k, (s, _)) => s""""$k":${"%.3f".format(s)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    val phasesJson = leidenPhases.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""leiden_edges_per_sec_per_iter":${"%.0f".format(eps)},""" +
       s""""fixture_edges":$fixtureEdgeCount,"superstep_secs":${"%.3f".format(supersteps)},"cpus":$cpus,""" +
+      s""""leiden_phases":$phasesJson,""" +
       s""""scaling":{"cores_lo":$loCores,"cores_hi":$cpus,""" +
       s""""simhash_docs_per_sec_lo":${"%.0f".format(shLo)},"simhash_docs_per_sec_hi":${"%.0f".format(shHi)},""" +
       s""""simhash_efficiency":${"%.3f".format(eff(shLo, shHi))},""" +
       s""""leiden_eps_lo":${"%.0f".format(epsLo)},"leiden_eps_hi":${"%.0f".format(epsHi)},""" +
-      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))}}}"""
+      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))},"lo_remeasures":$tries}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LINE.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

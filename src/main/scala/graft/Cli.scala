@@ -59,6 +59,9 @@ object Cli {
       case "leiden" =>
         val r = Leiden.detect(edges, LeidenOptions(
           sketchSlots = opts.getOrElse("--sketch", "0").toInt,
+          // CLI opts into the churn stop (library default 0 = reference
+          // termination semantics); --min-moved 0 restores the reference
+          minMovedFraction = opts.getOrElse("--min-moved", "1e-3").toDouble,
           snapshotDir = opts.get("--snapshot")))
         (r.membership, s"communities=${r.communities} modularity=${r.modularity} " +
           s"iterations=${r.iterations} passes=${r.passes} phaseMillis=${r.phaseMillis}")

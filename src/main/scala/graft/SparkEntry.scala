@@ -42,7 +42,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("w"))
   }
 
-  private def copurchaseSym(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def copurchaseSym(s: SparkSession, dir: String): DataFrame = {
     val p = copurchase(s, dir).select(col("src"), col("dst"), col("w").cast("double").as("w"))
     p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
@@ -105,13 +105,13 @@ object SparkEntry {
     "g_lpa" -> ((s, dir) => // rows-only: iterative fixpoint
       LabelProp.run(copurchaseSym(s, dir)).groupBy("label").agg(count(lit(1)).as("size"))),
     "g_leiden" -> ((s, dir) => { // rows-only: flagship algorithm
-      val r = Leiden.detect(copurchaseSym(s, dir),
-        LeidenOptions(maxIterations = 8, maxPasses = 4))
+      val r = Leiden.detect(copurchaseSym(s, dir), // churn stop opted in (library default 0 = reference semantics)
+        LeidenOptions(maxIterations = 8, maxPasses = 4, minMovedFraction = 1e-3))
       r.membership.groupBy("comm").agg(count(lit(1)).as("size"))
     }),
     "g_leiden_lowmem" -> ((s, dir) => { // rows-only: MG-sketch variant
       val r = Leiden.detect(copurchaseSym(s, dir),
-        LeidenOptions(maxIterations = 8, maxPasses = 4, sketchSlots = 64))
+        LeidenOptions(maxIterations = 8, maxPasses = 4, sketchSlots = 64, minMovedFraction = 1e-3))
       r.membership.groupBy("comm").agg(count(lit(1)).as("size"))
     }),
     // --- text analysis -------------------------------------------------

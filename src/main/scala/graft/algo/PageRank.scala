@@ -24,10 +24,32 @@ object PageRank {
 
   /** @param edges directed (src,dst,w) — weights define the split of a
     *              vertex's rank among its out-neighbors
+    * @param localEdgeThreshold graphs with at most this many edge rows are
+    *              solved in the driver-local tail (`localSolve`) — the same
+    *              device as Leiden's LocalSolver tail: a power iteration on
+    *              a sub-threshold graph is ~100 Spark jobs of pure fixed
+    *              scheduling cost, while 2M edge rows collect to well under
+    *              a GB transiently. Semantics identical (same formula, same
+    *              dangling/delta definitions as `sequential`); the
+    *              distributed plan stays the 100-TB path. 0 disables (the
+    *              distributed-machinery test pins 0).
     * @return (id, rank), sum(rank) == 1 +- fp error
     */
   def run(edges: DataFrame, alpha: Double = 0.85, tol: Double = 1e-6,
-          maxIters: Int = 100): DataFrame = {
+          maxIters: Int = 100, localEdgeThreshold: Long = 2000000): DataFrame = {
+    if (localEdgeThreshold > 0 && edges.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val arr = edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val ranks = localSolve(arr, alpha, tol, maxIters)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ranks.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 4), schema)
+    }
     val e = edges.select("src", "dst", "w").repartition(col("src")).cache()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
 
@@ -70,6 +92,55 @@ object PageRank {
     }
     e.unpersist()
     state.select("id", "rank")
+  }
+
+  /** Indexed driver-local power iteration — the small-graph tail behind
+    * `localEdgeThreshold`. Same semantics as `sequential` (the test
+    * oracle): dangling recomputed from the current ranks each iteration,
+    * per-dst gather accumulates in edge order, L1 delta stop.
+    */
+  private[graft] def localSolve(edges: Array[(Long, Long, Double)], alpha: Double,
+                                tol: Double, maxIters: Int): Array[(Long, Double)] = {
+    val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = ids.length
+    if (n == 0) return Array.empty
+    val index = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { index.put(ids(i), i); i += 1 }
+    val m = edges.length
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    val wArr = new Array[Double](m)
+    val outW = new Array[Double](n)
+    i = 0
+    while (i < m) {
+      val (s, d, w) = edges(i)
+      srcI(i) = index.get(s); dstI(i) = index.get(d); wArr(i) = w
+      outW(srcI(i)) += w
+      i += 1
+    }
+    var ranks = Array.fill(n)(1.0 / n)
+    var it = 0
+    var delta = Double.MaxValue
+    while (delta > tol && it < maxIters) {
+      var dangling = 0.0
+      i = 0
+      while (i < n) { if (outW(i) == 0.0) dangling += ranks(i); i += 1 }
+      val gath = new Array[Double](n)
+      i = 0
+      while (i < m) { gath(dstI(i)) += ranks(srcI(i)) / outW(srcI(i)) * wArr(i); i += 1 }
+      val next = new Array[Double](n)
+      delta = 0.0
+      i = 0
+      while (i < n) {
+        next(i) = (1 - alpha) / n + alpha * (gath(i) + dangling / n)
+        delta += math.abs(next(i) - ranks(i))
+        i += 1
+      }
+      ranks = next
+      it += 1
+    }
+    ids.zip(ranks)
   }
 
   /** Sequential double-precision oracle for tests (same semantics). */

@@ -98,8 +98,9 @@ object Ann {
     * (one pass, centroids broadcast); a query probes only the `nprobe`
     * nearest cells and re-scores exactly within them.
     *
-    * Scale shape: assignment is a broadcast-join scan (no shuffle of the
-    * corpus beyond the cell-key exchange); search joins queries to their
+    * Scale shape: assignment is a pure per-row argmax expression over the
+    * centroid literals (ZERO exchanges of the corpus — the cell key is
+    * computed in the scan projection); search joins queries to their
     * probed cell ids and then equi-joins on cell id — candidates are
     * bounded by nprobe/nlist of the corpus instead of all of it.
     *
@@ -110,28 +111,20 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // deterministic centroid sample: smallest nlist hash values
-    val centroids = broadcast(
-      corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
-        .orderBy("h").limit(nlist)
-        .select(col("id").as("cid"), col("vec").as("cvec")))
+    val cents = ivfCentroids(corpus, nlist)
     // assign each corpus vector to its nearest centroid (max cosine, ties
-    // to the smallest centroid id — deterministic)
-    val assigned = corpus.crossJoin(centroids)
-      .select(col("id"), col("vec"), col("cid"),
-        cosine(col("vec"), col("cvec")).as("sim"))
-      .groupBy("id")
-      .agg(max(struct(col("sim"), (-col("cid")).as("tb"), col("cid").as("cell"))).as("mx"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("mx.cell").as("cell"))
-    // each query probes its nprobe nearest cells
-    val probes = queries.crossJoin(centroids)
-      .select(col("qid"), col("qvec"), col("cid"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    // to the smallest centroid id — deterministic): a pure per-row argmax
+    // expression over the centroid literals — zero exchanges of the corpus
+    // (pinned by PlanSpec), vs the former crossJoin+groupBy("id") which
+    // re-shuffled every embedding by id
+    val assigned = ivfAssign(corpus, cents)
+    // each query probes its nprobe nearest cells (desc sim, ties asc cid):
+    // same per-row expression, sorted via the negated-sim struct order
+    val probes = queries.select(col("qid"), col("qvec"),
+        explode(slice(sort_array(array(cents.map { case (cid, cv) =>
+          struct((-cosine(col("qvec"), cv)).as("nsim"), lit(cid).as("cid"))
+        }: _*)), 1, nprobe)).as("pc"))
+      .select(col("qid"), col("qvec"), col("pc.cid").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cosine"))
@@ -139,6 +132,38 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "id", "rank", "cosine")
   }
+
+  /** Deterministic IVF coarse centroids: the `nlist` corpus vectors with
+    * the smallest xxhash64(id) — a seeded uniform sample, no RNG state,
+    * identical on every run and cluster size. Collected to the driver BY
+    * CONSTRUCTION bounded at nlist rows (the same broadcast-small contract
+    * as the query set) and returned as (cid, vector-literal Column) pairs,
+    * so cell assignment/probing are pure per-row expressions.
+    */
+  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Column)] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val floatElems = corpus.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(nlist)
+      .select(col("id"), col("vec")).collect()
+      .map { r =>
+        val vlit = if (floatElems) typedlit(r.getSeq[Float](1))
+                   else typedlit(r.getSeq[Double](1))
+        (r.getLong(0), vlit)
+      }
+  }
+
+  /** Nearest-centroid cell per corpus row as a single narrow projection:
+    * (id, vec, cell). No Exchange anywhere in this plan (PlanSpec pins it).
+    */
+  private[graft] def ivfAssign(corpus: DataFrame, cents: Array[(Long, Column)]): DataFrame =
+    corpus.select(col("id"), col("vec"),
+      array_max(array(cents.map { case (cid, cv) =>
+        struct(cosine(col("vec"), cv).as("sim"), lit(-cid).as("tb"), lit(cid).as("cell"))
+      }: _*)).getField("cell").as("cell"))
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * blocking + exact verification. (a, b, cosine), a < b.

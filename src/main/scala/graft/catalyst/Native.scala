@@ -72,7 +72,11 @@ object Kernels {
     var idx = 0
     while (idx < n) {
       val s = arr.getUTF8String(idx)
-      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      // null element: Spark's xxhash64 SKIPS null children (hash state
+      // unchanged), so xxhash64(null, i) folds only i over the seed —
+      // h0 stays at the seed. Matches the HOF oracle (NativeSpec pins it).
+      val h0 = if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var i = 0
       while (i < numHashes) {
         val h = XXH64.hashInt(i, h0)
@@ -86,16 +90,21 @@ object Kernels {
 
   /** Cosine similarity in double precision, accumulating left-to-right in
     * the same order as the zip_with/aggregate formulation (bit-identical
-    * results on equal-length inputs). Length mismatch yields NaN.
+    * results on equal-length inputs). Null propagation matches the HOF
+    * oracle: a null element in EITHER array nulls the whole result (the
+    * HOF's acc + null = null), and a length mismatch does too (zip_with
+    * pads the shorter side with nulls). Boxed return so codegen can set
+    * isNull.
     */
-  def cosine(a: ArrayData, b: ArrayData, floatElems: Boolean): Double = {
+  def cosine(a: ArrayData, b: ArrayData, floatElems: Boolean): java.lang.Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return Double.NaN
+    if (b.numElements() != n) return null
     var dot = 0.0
     var aa = 0.0
     var bb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (floatElems) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -103,7 +112,7 @@ object Kernels {
       bb += y * y
       i += 1
     }
-    dot / (math.sqrt(aa) * math.sqrt(bb))
+    java.lang.Double.valueOf(dot / (math.sqrt(aa) * math.sqrt(bb)))
   }
 }
 
@@ -153,11 +162,19 @@ case class ArrayCosineExpr(left: Expression, right: Expression) extends BinaryEx
       s"graft_cosine expects two array<float> or two array<double>, got ${left.dataType} / ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
+  // null even on non-null inputs: null array elements / length mismatch
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatElems)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.Kernels.cosine($a, $b, $floatElems)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftCos")
+      s"""
+         |java.lang.Double $tmp = graft.catalyst.Kernels.cosine($a, $b, $floatElems);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosineExpr =
     copy(left = l, right = r)
 }

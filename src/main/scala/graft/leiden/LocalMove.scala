@@ -52,39 +52,43 @@ object LocalMove {
     val ct = communityTotals(state)
 
     val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
-    val msBase = state.select(col("id").as("src"), col("comm").as("ccur"),
-      col("vtot").as("vtot_u"), col("aff"))
-    val (ms, md) = bound match {
-      case Some(b) =>
-        val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
-        val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
-        (msBase.join(bs, "src"), mdBase.join(bd, "dst"))
-      case None => (msBase, mdBase)
-    }
 
     // Movers carry their community's totals from the start: the per-vertex
     // terms of delta-Q (wud, ctot_d) are CONSTANT across a vertex's
     // candidates, so joining them onto the O(V) mover side up front lets
     // the candidate scoring, swap guard, and argmax all happen in ONE
     // aggregation — no wud self-join, no post-argmax community-total join.
-    var movers = ms.filter(col("aff") && pmod(col("src"), lit(2)) === parity)
+    var moverInfo = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
+      .select(col("id").as("src"), col("comm").as("ccur"), col("vtot").as("vtot_u"))
       .join(ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"),
         col("csize").as("csize_d")), "ccur")
     if (refineSingletons)
       // REFINE: only still-singleton vertices scan at all
       // (/root/reference/inc/leiden.hxx:422)
-      movers = movers.filter(col("csize_d") === 1)
+      moverInfo = moverInfo.filter(col("csize_d") === 1)
 
-    // J1 gather: neighbor-community weights for this half-sweep's movers.
+    val (moverIds, md) = bound match {
+      case Some(b) =>
+        val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
+        val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
+        (moverInfo.select("src").join(bs, "src"), mdBase.join(bd, "dst"))
+      case None => (moverInfo.select("src"), mdBase)
+    }
+
+    // J1 gather, NARROW: the O(E) stream carries only (src, cdst, w)
+    // [plus the bound column during refine] through its exchanges — the
+    // per-vertex constants (ccur, vtot_u, ctot_d, csize_d) do NOT ride
+    // every edge row; they rejoin on the aggregated candidate stream
+    // below, which is O(distinct (vertex, neighbor community)). At the
+    // 32M-edge scale this halves the bytes shuffled per half-sweep.
     // SELF=false: self loops never counted in the scan
     // (/root/reference/inc/leiden.hxx:255-256).
     var scan = edges
       .filter(col("src") =!= col("dst"))
-      .join(movers, "src")
+      .join(moverIds, "src")
       .join(md, "dst")
     if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
-
-    val grpKeys = Seq(col("src"), col("ccur"), col("vtot_u"), col("ctot_d"), col("csize_d"))
+    val scanN = scan.select(col("src"), col("cdst"), col("w"))
 
     // Exact path: one hash-agg state per distinct (vertex, neighbor
     // community). Sketch path (sketchSlots > 0, the low-memory variants of
@@ -95,18 +99,20 @@ object LocalMove {
     // state for hub vertices whose neighbors span millions of communities.
     val cand =
       if (sketchSlots <= 0)
-        scan.groupBy(grpKeys :+ col("cdst"): _*).agg(sum("w").as("wuc"))
+        scanN.groupBy("src", "cdst").agg(sum("w").as("wuc"))
       else {
-        val candPairs = scan
+        val candPairs = scanN
           .groupBy(col("src"))
           .agg(MGSketch.sketch(sketchSlots)(col("cdst"), col("w")).as("cands"))
           .select(col("src"), explode(col("cands")).as("c"))
           .select(col("src"), col("c.comm").as("cdst"))
-        // survivors + the vertex's own community (its weight feeds wud)
-        scan.join(candPairs.unionByName(
-            scan.select(col("src"), col("ccur").as("cdst")).distinct()).distinct(),
+        // survivors + the vertex's own community (its weight feeds wud);
+        // the semi-join prunes (src, ccur) pairs with no edge into ccur,
+        // exactly as the former scan-side distinct did
+        scanN.join(candPairs.unionByName(
+            moverInfo.select(col("src"), col("ccur").as("cdst"))).distinct(),
             Seq("src", "cdst"), "left_semi")
-          .groupBy(grpKeys :+ col("cdst"): _*).agg(sum("w").as("wuc"))
+          .groupBy("src", "cdst").agg(sum("w").as("wuc"))
       }
 
     val ctTgt = ct.select(col("comm").as("cdst"), col("ctot").as("ctot_c"), col("csize").as("csize_c"))
@@ -114,9 +120,12 @@ object LocalMove {
     // Per-candidate delta-Q part: dq = score_c - wud/M - R*vtot*(vtot-ctot_d)/(2M^2)
     // with score_c = wuc/M - R*vtot*ctot_c/(2M^2). The subtraction is a
     // per-vertex constant, so argmax over score_c == argmax over dq, with
-    // identical tie behavior.
+    // identical tie behavior. Join order: target totals first (cdst key),
+    // THEN the mover constants (src key) — the final argmax groups by src,
+    // so the last exchange and the aggregation share the src partitioning.
     val scored = cand
       .join(ctTgt, "cdst")
+      .join(moverInfo, "src")
       .withColumn("score",
         col("wuc") / lit(m) -
           lit(resolution) * col("vtot_u") * col("ctot_c") / lit(2 * m * m))
@@ -130,14 +139,17 @@ object LocalMove {
     // One aggregation computes the argmax over eligible candidates (ties
     // toward the smallest community id — deterministic stand-in for the
     // reference's hashtable iteration order, /root/reference/inc/leiden.hxx:335-344)
-    // AND the weight to the vertex's current community (wud).
+    // AND the weight to the vertex's current community (wud). Grouped by
+    // src alone (the per-vertex constants are functionally dependent and
+    // come along via first()), so the exchange stays 8-byte-keyed.
     val best = PlanUtils.checkpointTruncated(
       scored
-        .groupBy(grpKeys: _*)
+        .groupBy(col("src"))
         .agg(
           max(when(col("eligible"), struct(col("score").as("score"),
             (-col("cdst")).as("tb"), col("cdst").as("best")))).as("mx"),
-          sum(when(col("cdst") === col("ccur"), col("wuc")).otherwise(lit(0.0))).as("wud"))
+          sum(when(col("cdst") === col("ccur"), col("wuc")).otherwise(lit(0.0))).as("wud"),
+          first(col("vtot_u")).as("vtot_u"), first(col("ctot_d")).as("ctot_d"))
         .filter(col("mx").isNotNull)
         .withColumn("mdq",
           col("mx.score") - col("wud") / lit(m) -

@@ -74,15 +74,26 @@ object NearDup {
       .distinct()
     // exact verification on the candidate set only: re-derive each side's
     // shingles from doc storage per pair (candidates are LSH-rare, so the
-    // recompute is cheap; shipping per-doc shingle arrays corpus-wide is not)
+    // recompute is cheap; shipping per-doc shingle arrays corpus-wide is
+    // not). Two guards keep it to ONE shingles() per pair side:
+    //   - sa/sb are projected once BELOW the jaccard select and referenced
+    //     twice each (intersect + union) — the multi-reference guard stops
+    //     CollapseProject from inlining the shingling expression back in;
+    //   - the verified pairs are MATERIALIZED before the threshold filter —
+    //     otherwise PushDownPredicates inlines the whole jaccard expression
+    //     into the Filter and recomputes both shingle sets per row again.
+    // PlanSpec pins that the returned plan contains no shingling at all.
     val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
-    cand
-      .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
-      .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(TextOps.shingles(col("ta"), k), TextOps.shingles(col("tb"), k))).cast("double") /
-          size(array_union(TextOps.shingles(col("ta"), k), TextOps.shingles(col("tb"), k)))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      cand
+        .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
+        .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
+        .select(col("a"), col("b"),
+          TextOps.shingles(col("ta"), k).as("sa"), TextOps.shingles(col("tb"), k).as("sb"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("jaccard")))
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** Bit masks 1L<<0 .. 1L<<63 as an array literal — Spark's shiftright

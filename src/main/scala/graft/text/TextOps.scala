@@ -119,8 +119,12 @@ object TextOps {
     */
   def ngramOverlap(docs: DataFrame, k: Int, textCol: String = "text",
                    idCol: String = "doc_id", dfCap: Long = 100000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-      .distinct()
+    // The inverted index feeds FOUR plan branches (sizes, the df-cap
+    // aggregation, both sides of the self-join): materialize it once so the
+    // explode+distinct scan — the expensive part — never re-executes.
+    val sh = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
+        .distinct())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val kept = sh.join(
       sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("s"),

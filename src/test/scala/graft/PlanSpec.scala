@@ -43,6 +43,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"), plan)
   }
 
+  test("ivf cell assignment is a pure per-row projection — no Exchange of the corpus") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.ann.Ann.ivfCentroids(corpus, 8)
+    val plan = graft.ann.Ann.ivfAssign(corpus, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("d_minhash_pairs: the returned plan reads materialized jaccard (no shingle recompute above the filter)") {
+    val plan = SparkEntry.queries("d_minhash_pairs")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("array_distinct") && !plan.contains("transform("), plan.take(800))
+  }
+
   test("e_neardup scores each candidate pair exactly once (dedup before cosine)") {
     val df = SparkEntry.queries("e_neardup")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString

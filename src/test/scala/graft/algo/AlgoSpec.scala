@@ -25,12 +25,18 @@ class AlgoSpec extends SparkSpec {
       yield (a.toLong, b.toLong, 1.0 + rnd.nextInt(3).toDouble))
     val edges = EdgeTable.of(spark, es)
     // tol pinned below the 1e-6 comparison bound so an off-by-one-iteration
-    // stop between the two implementations cannot masquerade as a mismatch
-    val got = PageRank.run(edges, tol = 1e-9).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // stop between the two implementations cannot masquerade as a mismatch.
+    // Both execution paths are pinned: the driver-local tail (default
+    // threshold — this graph is far below it) AND the distributed plan
+    // (threshold 0 forces it), each allclose 1e-6 to the sequential oracle.
     val want = PageRank.sequential(es, tol = 1e-9)
-    assert(got.keySet === want.keySet)
-    got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"vertex $k: $v vs ${want(k)}") }
-    assert(approx(got.values.sum, 1.0, 1e-9))
+    for (thresh <- Seq(2000000L, 0L)) {
+      val got = PageRank.run(edges, tol = 1e-9, localEdgeThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"thresh=$thresh vertex $k: $v vs ${want(k)}") }
+      assert(approx(got.values.sum, 1.0, 1e-9))
+    }
   }
 
   test("connected components: forest of 3 trees gets min-id labels (F4)") {

@@ -77,6 +77,31 @@ class NativeSpec extends SparkSpec {
     }
   }
 
+  test("null array elements: native minhash matches the HOF's skip-null xxhash64 semantics") {
+    val arr = array(lit("x"), lit(null).cast("string"), lit("y"))
+    val allNull = array(lit(null).cast("string"), lit(null).cast("string"))
+    val probe = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
+    val r = probe.select(
+      NearDup.minHashReference(arr, 8).as("h1"), NativeColumns.minhashSig(arr, 8).as("n1"),
+      NearDup.minHashReference(allNull, 8).as("h2"), NativeColumns.minhashSig(allNull, 8).as("n2"))
+      .head
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+  }
+
+  test("null array elements / length mismatch: native cosine propagates null like the HOF") {
+    val a = expr("array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))")
+    val b = expr("array(CAST(0.5 AS FLOAT), CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT))")
+    val short = expr("array(CAST(0.5 AS FLOAT))")
+    val probe = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
+    val r = probe.select(
+      graft.ann.Ann.cosineReference(a, b).as("h1"), NativeColumns.cosineSim(a, b).as("n1"),
+      graft.ann.Ann.cosineReference(b, short).as("h2"), NativeColumns.cosineSim(b, short).as("n2"))
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+    assert(r.isNullAt(2) && r.isNullAt(3), r.toString)
+  }
+
   test("SQL surface: graft_* functions registered via the extensions hook") {
     org.apache.spark.sql.graft.NativeColumns.register(spark)
     df.createOrReplaceTempView("native_probe")
