@@ -192,8 +192,12 @@ object SparkEntry {
       val (e, _) = LinkExtract.edges(Pages.synthetic(s, 500))
       EdgeTable.degrees(EdgeTable.symmetrize(e))
     }),
-    "mm_image_meta" -> ((s, dir) => // rows-only: stubbed codec plumbing
-      Multimodal.decodeImageMeta(Multimodal.syntheticMedia(s, 300)).toDF()))
+    "mm_image_meta" -> ((s, dir) => // rows-only: real BMP/PPM pixel decode
+      Multimodal.decodeImageMeta(Multimodal.syntheticMedia(s, 300)).toDF()),
+    "mm_audio_meta" -> ((s, dir) => // rows-only: real WAV PCM chunk walk
+      Multimodal.decodeAudioMeta(Multimodal.syntheticMedia(s, 300)).toDF()),
+    "mm_video_frames" -> ((s, dir) => // rows-only: real Y4M frame sampling
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 300), 300).toDF()))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

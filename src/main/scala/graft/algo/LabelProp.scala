@@ -17,9 +17,20 @@ import org.apache.spark.sql.graft.PlanUtils
 object LabelProp {
 
   /** @param edges symmetrized (src,dst,w)
+    * @param sketchSlots low-memory variant (the reference family's MG-LPA,
+    *        `/root/reference/README.md:3`: the per-thread hashtable is
+    *        replaced by a Misra-Gries sketch in Leiden AND LPA): a bounded
+    *        `graft.leiden.MGSketch` buffer per vertex selects <= k
+    *        candidate labels, then EXACT weights are recomputed only for
+    *        the survivors plus the vertex's own label — hub vertices get a
+    *        fixed-size aggregation state instead of one hash-map entry per
+    *        distinct neighbor label. 0 = exact (default). Any label holding
+    *        more than 1/(k+1) of a vertex's scanned weight always survives
+    *        the sketch, so on modular graphs the recovered blocks match the
+    *        exact run (pinned by AlgoSpec).
     * @return (id, label); label = a vertex id, communities = equal labels
     */
-  def run(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 20, sketchSlots: Int = 0): DataFrame = {
     val e = edges.filter(col("src") =!= col("dst")).cache()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     var materialized = PlanUtils.checkpointTruncated(
@@ -35,11 +46,28 @@ object LabelProp {
         // labels forever; varying the 2-coloring per round guarantees every
         // conflicting pair is eventually split across phases and resolves
         // sequentially.
-        val lw = e
+        val scanned = e
           .join(labels.select(col("id").as("dst"), col("label")), "dst")
           .filter(pmod(hash(col("src"), lit(round)), lit(2)) === parity)
-          .groupBy(col("src"), col("label"))
-          .agg(sum("w").as("lw"))
+          .select(col("src"), col("label"), col("w"))
+        val lw =
+          if (sketchSlots <= 0)
+            scanned.groupBy(col("src"), col("label")).agg(sum("w").as("lw"))
+          else {
+            // MG candidate filter + exact re-score of the survivors — the
+            // same two-step shape as the Leiden low-memory scan
+            // (graft.leiden.LocalMove). The vertex's own label is always
+            // re-scored too: the stability rule compares against cw, which
+            // must be the TRUE current-label weight, not a sketch estimate.
+            val candPairs = scanned.groupBy(col("src"))
+              .agg(graft.leiden.MGSketch.sketch(sketchSlots)(col("label"), col("w")).as("cands"))
+              .select(col("src"), explode(col("cands")).as("c"))
+              .select(col("src"), col("c.comm").as("label"))
+            scanned.join(
+                candPairs.unionByName(labels.select(col("id").as("src"), col("label"))).distinct(),
+                Seq("src", "label"), "left_semi")
+              .groupBy(col("src"), col("label")).agg(sum("w").as("lw"))
+          }
         val best = lw
           .groupBy(col("src"))
           .agg(max(struct(col("lw").as("lw"), (-col("label")).as("tb"),

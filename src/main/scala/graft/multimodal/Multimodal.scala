@@ -1,57 +1,315 @@
 package graft.multimodal
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Pure-JVM codecs for uncompressed media containers — no native libraries,
+  * no dependencies, fully deterministic. These are REAL decoders (header
+  * validation + pixel/sample payload parsing), covering one uncompressed
+  * format per modality:
+  *   - BMP (24/32-bit BI_RGB, bottom-up or top-down) and PPM/PGM (P6/P5)
+  *     for images — decoded to row-major top-down RGB(A)/gray bytes,
+  *   - WAV (RIFF PCM, chunk-walking, word-aligned) for audio,
+  *   - Y4M (YUV4MPEG2, C444/C420) for video — frame count from the actual
+  *     stream, not an assumed clip length.
+  * Compressed formats (JPEG/MP3/H.264) stay out of scope in this
+  * container; swapping in a JNI/javacv decoder changes no signatures.
+  */
+object Codecs {
+
+  /** Decoded image: row-major, top-down, interleaved channels (RGB, RGBA
+    * or single-channel gray), one byte per sample.
+    */
+  case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  case class Audio(channels: Int, sampleRate: Int, bitsPerSample: Int, frames: Int)
+
+  case class Video(width: Int, height: Int, fpsNum: Int, fpsDen: Int, frames: Int)
+
+  /** Windows bitmap, the classic uncompressed interchange format:
+    * BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (>= 40 bytes), BI_RGB
+    * only, 24- or 32-bit, rows padded to 4-byte boundaries, stored
+    * bottom-up when the height field is positive.
+    */
+  object Bmp {
+    def encode(img: Image): Array[Byte] = {
+      require(img.channels == 3, "BMP encoder emits 24-bit RGB")
+      val rowSize = (img.width * 3 + 3) / 4 * 4
+      val dataSize = rowSize * img.height
+      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+      bb.putInt(40).putInt(img.width).putInt(img.height)
+        .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = img.height - 1
+      while (y >= 0) { // bottom-up, BGR
+        var x = 0
+        while (x < img.width) {
+          val i = (y * img.width + x) * 3
+          bb.put(img.pixels(i + 2)).put(img.pixels(i + 1)).put(img.pixels(i))
+          x += 1
+        }
+        var p = img.width * 3
+        while (p < rowSize) { bb.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      bb.array()
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = bb.getInt(10)
+      val dibSize = bb.getInt(14)
+      val width = bb.getInt(18)
+      val heightRaw = bb.getInt(22)
+      val bpp = bb.getShort(28) & 0xFFFF
+      val compression = bb.getInt(30)
+      if (dibSize < 40 || compression != 0 || (bpp != 24 && bpp != 32) ||
+        width <= 0 || heightRaw == 0 || dataOffset < 54) return None
+      val bottomUp = heightRaw > 0
+      val height = math.abs(heightRaw)
+      val ch = bpp / 8
+      val rowSize = (width * ch + 3) / 4 * 4
+      if (dataOffset.toLong + rowSize.toLong * height > bytes.length) return None
+      val out = new Array[Byte](width * height * ch)
+      var y = 0
+      while (y < height) {
+        val srcRow = dataOffset + (if (bottomUp) height - 1 - y else y) * rowSize
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * ch
+          val d = (y * width + x) * ch
+          out(d) = bytes(s + 2); out(d + 1) = bytes(s + 1); out(d + 2) = bytes(s) // BGR(A) -> RGB(A)
+          if (ch == 4) out(d + 3) = bytes(s + 3)
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(width, height, ch, out))
+    }
+  }
+
+  /** Netpbm binary formats: P6 (RGB) and P5 (gray), maxval < 256. Header
+    * tokens are whitespace-separated with `#` comments allowed.
+    */
+  object Ppm {
+    def encode(img: Image): Array[Byte] = {
+      require(img.channels == 3 || img.channels == 1)
+      val magic = if (img.channels == 3) "P6" else "P5"
+      s"$magic\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII") ++ img.pixels
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < 2 || bytes(0) != 'P') return None
+      val ch = bytes(1).toChar match {
+        case '6' => 3
+        case '5' => 1
+        case _ => return None
+      }
+      var pos = 2
+      def nextInt(): Int = {
+        while (pos < bytes.length &&
+          (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+        if (pos == start) -1 else new String(bytes, start, pos - start, "US-ASCII").toInt
+      }
+      val w = nextInt(); val h = nextInt(); val mx = nextInt()
+      pos += 1 // exactly one whitespace byte after maxval, then raster
+      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+        pos + w.toLong * h * ch > bytes.length) return None
+      Some(Image(w, h, ch, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * ch)))
+    }
+  }
+
+  /** RIFF/WAVE PCM: walks the chunk list (word-aligned sizes, unknown
+    * chunks like LIST skipped), requires an audioFormat=1 fmt chunk and a
+    * data chunk; frames = dataLen / (channels * bytesPerSample).
+    */
+  object Wav {
+    def encode(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(sampleRate).putInt(sampleRate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    private def tag(bytes: Array[Byte], pos: Int, t: String): Boolean =
+      bytes.length >= pos + 4 && new String(bytes, pos, 4, "US-ASCII") == t
+
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes.length < 12 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val sz = bb.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz.toLong > bytes.length) return None
+        id match {
+          case "fmt " if sz >= 16 =>
+            if ((bb.getShort(pos + 8) & 0xFFFF) != 1) return None // PCM only
+            fmt = Some((bb.getShort(pos + 10) & 0xFFFF, bb.getInt(pos + 12),
+              bb.getShort(pos + 22) & 0xFFFF))
+          case "data" => dataLen = sz
+          case _ => () // LIST/INFO/etc: skip
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      fmt.collect {
+        case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits >= 8 && bits % 8 == 0 =>
+          Audio(ch, rate, bits, dataLen / (ch * bits / 8))
+      }
+    }
+  }
+
+  /** YUV4MPEG2: ASCII stream header (`YUV4MPEG2 W.. H.. F..:.. ... C..\n`)
+    * followed by `FRAME...\n` + raw planar frames. C444 and C420 plane
+    * sizes supported; frame count comes from walking the actual stream.
+    */
+  object Y4m {
+    def encode(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames.foreach(f => require(f.length == width * height * 3, "C444 frames"))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n".getBytes("US-ASCII"))
+      val fh = "FRAME\n".getBytes("US-ASCII")
+      frames.foreach { f => out.write(fh); out.write(f) }
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[Video] = {
+      val magic = "YUV4MPEG2"
+      if (bytes.length < magic.length ||
+        new String(bytes, 0, magic.length, "US-ASCII") != magic) return None
+      var nl = 0
+      while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+      if (nl >= bytes.length) return None
+      val params = new String(bytes, 0, nl, "US-ASCII").split(" ").drop(1)
+      var w = -1; var h = -1; var fn = 25; var fd = 1; var c = "420"
+      params.foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.drop(1).toInt
+          case 'H' => h = p.drop(1).toInt
+          case 'F' => val parts = p.drop(1).split(":"); fn = parts(0).toInt; fd = parts(1).toInt
+          case 'C' => c = p.drop(1)
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      val frameSize = c match {
+        case s if s.startsWith("444") => w * h * 3
+        case s if s.startsWith("420") => w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        case _ => return None
+      }
+      var pos = nl + 1
+      var frames = 0
+      while (pos < bytes.length) {
+        if (!new String(bytes, pos, math.min(5, bytes.length - pos), "US-ASCII").startsWith("FRAME"))
+          return None
+        while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        pos += 1 + frameSize
+        if (pos > bytes.length) return None
+        frames += 1
+      }
+      Some(Video(w, h, fn, fd, frames))
+    }
+  }
+
+  /** Dispatch an image payload on its magic bytes. */
+  def sniffImage(bytes: Array[Byte]): Option[Image] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Bmp.decode(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P') Ppm.decode(bytes)
+    else None
+
+  /** Nearest-neighbor resize of a decoded image (pure pixel math; the
+    * resample kernel a production pipeline would swap for area/bicubic).
+    */
+  def resizeNearest(img: Image, outW: Int, outH: Int): Image = {
+    require(outW > 0 && outH > 0)
+    val out = new Array[Byte](outW * outH * img.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(img.height - 1, y * img.height / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(img.width - 1, x * img.width / outW)
+        var c = 0
+        while (c < img.channels) {
+          out((y * outW + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(outW, outH, img.channels, out)
+  }
+}
 
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed batch-wise with typed mapPartitions (the
   * Scala analog of mapInPandas — one decoder instance per partition, rows
-  * streamed through it).
-  *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `FakeCodec` parses a deterministic 16-byte header instead of
-  * decoding real media. Everything around it — schema, binary handling,
-  * per-partition batching, output shape — is the real production plumbing;
-  * swapping FakeCodec for a JNI/javacv decoder changes no signatures.
+  * streamed through it). Decoding is REAL (graft.multimodal.Codecs):
+  * BMP/PPM pixels, WAV PCM chunks, Y4M frame streams — all pure JVM.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
-  case class ImageMeta(media_id: Long, width: Int, height: Int, channels: Int,
-                       bytes_len: Int)
+  /** px_sum = sum of unsigned pixel bytes — a payload checksum proving the
+    * raster was actually decoded, not just the header.
+    */
+  case class ImageMeta(media_id: Long, format: String, width: Int, height: Int,
+                       channels: Int, bytes_len: Int, px_sum: Long)
+
+  case class AudioMeta(media_id: Long, channels: Int, sample_rate: Int,
+                       bits_per_sample: Int, n_frames: Int)
+
+  case class VideoMeta(media_id: Long, width: Int, height: Int,
+                       fps_num: Int, fps_den: Int, n_frames: Int)
 
   case class FrameSample(media_id: Long, frame_idx: Int, ts_ms: Long)
 
-  /** STUB codec: header = magic(4) | width(4) | height(4) | channels(4),
-    * big-endian. A real decoder replaces exactly this object (???-grade
-    * stand-in, clearly marked).
+  /** Deterministic synthetic media table for tests/bench: REAL encoded
+    * bytes — BMP or PPM images, PCM WAV audio, Y4M video — derived purely
+    * from (seed, id).
     */
-  object FakeCodec {
-    val Magic = 0x47524654 // "GRFT"
-
-    def encodeHeader(width: Int, height: Int, channels: Int, payload: Int): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(16 + payload)
-      bb.putInt(Magic).putInt(width).putInt(height).putInt(channels)
-      bb.array()
-    }
-
-    def decode(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-      if (bytes.length < 16) return None
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      if (bb.getInt() != Magic) None
-      else Some((bb.getInt(), bb.getInt(), bb.getInt()))
-    }
-  }
-
-  /** Deterministic synthetic media table for tests/bench. */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].map { id =>
       val rnd = new scala.util.Random(seed ^ id)
-      val (w, h) = (16 + rnd.nextInt(64), 16 + rnd.nextInt(64))
-      val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      MediaRow(id, kind, FakeCodec.encodeHeader(w, h, 3, rnd.nextInt(64)))
+      (id % 3) match {
+        case 0 =>
+          val (w, h) = (16 + rnd.nextInt(64), 16 + rnd.nextInt(64))
+          val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+          val img = Codecs.Image(w, h, 3, pix)
+          MediaRow(id, "image", if (id % 2 == 0) Codecs.Bmp.encode(img) else Codecs.Ppm.encode(img))
+        case 1 =>
+          val channels = 1 + rnd.nextInt(2)
+          val rate = Seq(8000, 16000)(rnd.nextInt(2))
+          val samples = Array.tabulate(256 * channels)(i => ((id * 131 + i * 17) % 4096 - 2048).toShort)
+          MediaRow(id, "audio", Codecs.Wav.encode(channels, rate, samples))
+        case _ =>
+          val (w, h) = (8 + 2 * rnd.nextInt(5), 6 + 2 * rnd.nextInt(4))
+          val nFrames = 3 + rnd.nextInt(5)
+          val frames = (0 until nFrames).map(f =>
+            Array.tabulate(w * h * 3)(i => ((id * 17 + f * 101 + i) % 256).toByte))
+          MediaRow(id, "video", Codecs.Y4m.encode(w, h, 4, 1, frames))
+      }
     }
   }
 
@@ -61,17 +319,39 @@ object Multimodal {
   def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder instance (stateful codecs initialize here)
+      // per-partition decoder scope (stateful codecs initialize here)
       rows.flatMap { r =>
-        FakeCodec.decode(r.bytes).map { case (w, h, c) =>
-          ImageMeta(r.media_id, w, h, c, r.bytes.length)
+        Codecs.sniffImage(r.bytes).map { img =>
+          var s = 0L
+          var i = 0
+          while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+          ImageMeta(r.media_id, if (r.bytes(0) == 'B') "bmp" else "ppm",
+            img.width, img.height, img.channels, r.bytes.length, s)
         }
       }
     }
   }
 
-  /** Resize plan: target box while preserving aspect ratio (pure metadata
-    * math; the pixel work lives behind the codec stub).
+  /** Decode WAV audio metadata batch-wise (PCM chunk walk). */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Codecs.Wav.decode(r.bytes).map(a =>
+        AudioMeta(r.media_id, a.channels, a.sampleRate, a.bitsPerSample, a.frames))
+    })
+  }
+
+  /** Decode Y4M video metadata batch-wise (frame-stream walk). */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Codecs.Y4m.decode(r.bytes).map(v =>
+        VideoMeta(r.media_id, v.width, v.height, v.fpsNum, v.fpsDen, v.frames))
+    })
+  }
+
+  /** Resize plan: target box while preserving aspect ratio (metadata math;
+    * `Codecs.resizeNearest` does the actual pixel work when applied).
     */
   def resizePlan(meta: Dataset[ImageMeta], maxSide: Int): DataFrame =
     meta.toDF().select(col("media_id"), col("width"), col("height"),
@@ -79,15 +359,19 @@ object Multimodal {
         .otherwise(lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
         .as("scale"))
 
-  /** Deterministic frame sampling for video rows: `fps`-spaced indices of a
-    * fake 10s clip.
+  /** Deterministic frame sampling for video rows at `everyMs` spacing over
+    * each clip's REAL duration (frame count and rate from the decoded Y4M
+    * stream): frame_idx = floor(ts * fps / 1000).
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      (0L until 10000L by everyMs).zipWithIndex.map { case (ts, i) =>
-        FrameSample(r.media_id, i, ts)
+    media.mapPartitions(_.flatMap { r =>
+      Codecs.Y4m.decode(r.bytes).toSeq.flatMap { v =>
+        val durMs = v.frames.toLong * 1000L * v.fpsDen / v.fpsNum
+        (0L until durMs by everyMs).map { ts =>
+          FrameSample(r.media_id, (ts * v.fpsNum / (1000L * v.fpsDen)).toInt, ts)
+        }
       }
-    }
+    })
   }
 }

@@ -79,6 +79,39 @@ class AlgoSpec extends SparkSpec {
     assert(groups.forall(_.size == 1), "every label group lies within one planted block")
   }
 
+  test("low-memory LPA (MG sketch + exact re-score) recovers the same SBM blocks") {
+    val rnd = new Random(11)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 120; b <- a + 1 until 120) {
+      val p = if (a / 30 == b / 30) 0.3 else 0.01
+      if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
+    }
+    val edges = EdgeTable.undirected(spark, es.result())
+    // k=8 slots: far fewer than a vertex's distinct neighbor labels in the
+    // first rounds, so the sketch path is genuinely exercised. Exact label
+    // VALUES may differ from the exact run (round-0 streams are all-ties,
+    // below every 1/(k+1) survival share); the contract is the recovered
+    // partition: the four planted blocks, exactly — the same bar the exact
+    // run is held to above.
+    val groups = LabelProp.run(edges, sketchSlots = 8).collect().groupBy(_.getLong(1))
+      .values.map(_.map(_.getLong(0) / 30).toSet).toList
+    assert(groups.size === 4, s"labels=${groups.size}")
+    assert(groups.forall(_.size == 1), "every label group lies within one planted block")
+  }
+
+  test("g_lpa golden: committed SHA-256 of the full sf0.001 label assignment") {
+    // the driver's g_lpa query is rows-only (iterative fixpoint); the
+    // tie-breaks and weights are fully deterministic, so the complete
+    // (id, label) assignment on the fixed sf0.001 co-purchase graph is
+    // pinned by content hash (the PagesSpec p_link_edges device)
+    val labels = LabelProp.run(graft.SparkEntry.copurchaseSym(spark, "/root/testdata/sf0.001"))
+      .orderBy("id").collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(labels.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(labels.length === 200)
+    assert(h === "86888741fed60597bfbb8c9c8487803e6ecdc24de1e0a926ec519ec3ed1eb412")
+  }
+
   test("triangles: two K4 + bridge = 8 triangles, 3 per clique vertex; cycle has 0 (F4)") {
     val edges = EdgeTable.undirected(spark,
       clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))

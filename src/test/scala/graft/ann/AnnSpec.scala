@@ -35,6 +35,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("e_ann_topk golden: committed SHA-256 of the sf0.001 top-5 ranks") {
+    // the driver's e_ann_topk query is rows-only (float ordering is not
+    // cross-engine reproducible) — but it IS deterministic within the
+    // engine (fixed input, double cosine, ties broken by id), so the full
+    // (qid, id, rank) table is pinned by content hash
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rows = Ann.bruteForceTopK(queries, corpus, 5).drop("cosine")
+      .orderBy("qid", "rank").collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getInt(2)}")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rows.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.length === 100)
+    assert(h === "34601e75798531409b2ba7ca7094b1aff3586185d2aa29c91102eeb1fb797676")
+  }
+
   test("LSH top-k achieves nonzero recall against brute force") {
     val df = vecsDF(200, 16, 2).cache()
     val queries = df.filter(col("vec_id") < 10)
