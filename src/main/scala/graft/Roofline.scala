@@ -1,0 +1,154 @@
+package graft
+
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.graph.EdgeTable
+import graft.leiden.LocalMove
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanUtils
+
+/** Roofline evidence for the one-box Leiden scaling number (BENCH.md).
+  *
+  * The north rule's scaling criterion is executor-count scaling on a real
+  * cluster; this sandbox approximates it with local[8] vs local[32] on ONE
+  * box — which shares its DRAM channels across all threads. A shuffle-bound
+  * superstep is memory-traffic-bound, so its thread-scaling on one box is
+  * capped by how much streaming bandwidth 8 threads already consume. This
+  * tool measures both sides of that claim:
+  *
+  *   1. memBandwidthGBs(t): streaming read bandwidth over a 2 GiB long
+  *      array at t threads (the classic STREAM-sum kernel, pure JVM). If
+  *      BW(32)/BW(8) << 4, the memory subsystem — not the engine — caps
+  *      one-box thread scaling for any bandwidth-bound job.
+  *   2. leidenSuperstepTraffic(cores): bytes shuffled (read+write) and
+  *      executor-CPU seconds per Leiden superstep pair on the 32M-edge
+  *      bench fixture, via a SparkListener. Dividing by wall time gives the
+  *      engine's achieved shuffle-byte rate to set against (1); comparing
+  *      executor-CPU seconds across core counts shows whether the engine
+  *      keeps doing the same total work (it does — the gap is wait time).
+  *
+  * On a multi-node cluster each executor brings its own memory channels, so
+  * the DRAM ceiling measured here does not bind there — that is exactly the
+  * argument this tool exists to document, with numbers instead of prose.
+  */
+object Roofline {
+
+  /** Streaming read bandwidth (GB/s) at `threads` threads: each thread sums
+    * its contiguous chunk of a shared 2 GiB long array, `passes` times.
+    */
+  def memBandwidthGBs(threads: Int, totalLongs: Int = 1 << 28, passes: Int = 3): Double = {
+    val arr = new Array[Long](totalLongs)
+    var i = 0
+    while (i < totalLongs) { arr(i) = i.toLong * 0x9E3779B9L; i += 1 } // touch every page
+    val chunk = totalLongs / threads
+    val sink = new AtomicLong
+    val pool = Executors.newFixedThreadPool(threads)
+    def onePass(): Unit = {
+      val tasks = (0 until threads).map { t =>
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var s = 0L
+            var j = t * chunk
+            val end = if (t == threads - 1) totalLongs else (t + 1) * chunk
+            while (j < end) { s += arr(j); j += 1 }
+            s
+          }
+        }
+      }
+      val futures = pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+      futures.forEach(f => sink.addAndGet(f.get()))
+    }
+    try {
+      onePass() // warm (JIT + page faults)
+      val t0 = System.nanoTime()
+      var p = 0
+      while (p < passes) { onePass(); p += 1 }
+      val secs = (System.nanoTime() - t0) / 1e9
+      totalLongs.toDouble * 8 * passes / secs / 1e9
+    } finally pool.shutdown()
+  }
+
+  case class Traffic(cores: Int, edges: Long, iters: Int, wallSecs: Double,
+                     shuffleReadB: Long, shuffleWriteB: Long, execCpuSecs: Double) {
+    def shuffleBytesPerIter: Double = (shuffleReadB + shuffleWriteB).toDouble / iters
+    def shuffleGBs: Double = (shuffleReadB + shuffleWriteB) / wallSecs / 1e9
+    def epsi: Double = edges.toDouble * iters / wallSecs
+    def json: String =
+      s"""{"cores":$cores,"edges":$edges,"iters":$iters,"wall_secs":${f(wallSecs)},""" +
+        s""""shuffle_read_b":$shuffleReadB,"shuffle_write_b":$shuffleWriteB,""" +
+        s""""exec_cpu_secs":${f(execCpuSecs)},"shuffle_gb_per_s":${f(shuffleGBs)},""" +
+        s""""shuffle_b_per_iter":${"%.0f".format(shuffleBytesPerIter)},"eps_iter":${"%.0f".format(epsi)}}"""
+  }
+
+  private def f(d: Double) = "%.3f".format(d)
+
+  /** Shuffle traffic + executor CPU per Leiden superstep window at `cores`
+    * threads — same fixture, warmup and window shape as Bench's headline.
+    */
+  def leidenSuperstepTraffic(cores: Int, nVerts: Long, iters: Int = 2): Traffic = {
+    val spark = Sessions.local(cores, s"graft-roofline-$cores")
+    try {
+      val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
+      val e = edges.count()
+      val m = EdgeTable.totalWeight(edges) / 2
+      val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+      val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+      var state = LocalMove.sweep(edges, init, m, 1.0, 0).state
+
+      val read = new AtomicLong; val write = new AtomicLong; val cpuNs = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            read.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+            write.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+            cpuNs.addAndGet(tm.executorCpuTime)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      var done = 0
+      while (done < iters) {
+        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1).state
+        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0).state
+        if ((state ne s1) && (state ne s2)) PlanUtils.release(state)
+        if (s1 ne s2) PlanUtils.release(s1)
+        state = s2
+        done += 1
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are posted asynchronously; drain before reading
+      PlanUtils.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(listener)
+      Traffic(cores, e, iters, wall, read.get(), write.get(), cpuNs.get() / 1e9)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val verts = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERTS", "2000000").toLong
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loCores = math.min(8, hiCores)
+
+    val bwLo = memBandwidthGBs(loCores)
+    val bwHi = memBandwidthGBs(hiCores)
+    val tLo = leidenSuperstepTraffic(loCores, verts)
+    val tHi = leidenSuperstepTraffic(hiCores, verts)
+
+    val line =
+      s"""{"mem_bw_gb_s":{"t$loCores":${f(bwLo)},"t$hiCores":${f(bwHi)},"ratio":${f(bwHi / bwLo)}},""" +
+        s""""leiden_lo":${tLo.json},"leiden_hi":${tHi.json},""" +
+        s""""leiden_efficiency":${f(tHi.epsi / tLo.epsi / (hiCores.toDouble / loCores))},""" +
+        s""""cpu_work_ratio_hi_over_lo":${f(tHi.execCpuSecs / tLo.execCpuSecs)}}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_ROOFLINE_OUT", "/root/repo/ROOFLINE.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+  }
+}

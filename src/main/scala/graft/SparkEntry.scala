@@ -151,6 +151,8 @@ object SparkEntry {
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "d_minhash_pairs" -> ((s, dir) => // rows-only: engine-specific hash
       NearDup.minHashLshPairs(docs(s, dir), threshold = 0.2)),
+    "d_minhash_pairs_md5" -> ((s, dir) => // oracle: full LSH pipeline, md5-derived
+      NearDup.minHashLshPairsMd5(docs(s, dir))),
     "d_simhash_pairs" -> ((s, dir) => // rows-only: engine-specific hash
       NearDup.simHashPairs(docs(s, dir), maxHamming = 3)),
     // --- embeddings / similarity search --------------------------------
@@ -288,6 +290,34 @@ object SparkEntry {
         |    t -> CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 2147483647)),
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "d_minhash_pairs_md5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS u(i)),
+        |sig AS (SELECT doc_id,
+        |  min(CAST('0x' || substr(md5(s || '#0'),1,13) AS BIGINT)) AS mh0,
+        |  min(CAST('0x' || substr(md5(s || '#1'),1,13) AS BIGINT)) AS mh1,
+        |  min(CAST('0x' || substr(md5(s || '#2'),1,13) AS BIGINT)) AS mh2,
+        |  min(CAST('0x' || substr(md5(s || '#3'),1,13) AS BIGINT)) AS mh3,
+        |  min(CAST('0x' || substr(md5(s || '#4'),1,13) AS BIGINT)) AS mh4,
+        |  min(CAST('0x' || substr(md5(s || '#5'),1,13) AS BIGINT)) AS mh5,
+        |  min(CAST('0x' || substr(md5(s || '#6'),1,13) AS BIGINT)) AS mh6,
+        |  min(CAST('0x' || substr(md5(s || '#7'),1,13) AS BIGINT)) AS mh7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) AS bv FROM sig
+        |  UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) FROM sig
+        |  UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ',' || CAST(mh5 AS VARCHAR) FROM sig
+        |  UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ',' || CAST(mh7 AS VARCHAR) FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a, c.b, count(*) AS inter
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+        |          GROUP BY c.a, c.b)
+        |SELECT i.a, i.b, i.inter, (za.sz + zb.sz - i.inter) AS u
+        |FROM inter i JOIN sz za ON i.a = za.doc_id JOIN sz zb ON i.b = zb.doc_id
+        |WHERE i.inter * 5 >= (za.sz + zb.sz - i.inter) * 1""".stripMargin,
     "d_subwords" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) +

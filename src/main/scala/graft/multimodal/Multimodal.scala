@@ -5,16 +5,16 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Pure-JVM codecs for uncompressed media containers — no native libraries,
-  * no dependencies, fully deterministic. These are REAL decoders (header
-  * validation + pixel/sample payload parsing), covering one uncompressed
-  * format per modality:
-  *   - BMP (24/32-bit BI_RGB, bottom-up or top-down) and PPM/PGM (P6/P5)
-  *     for images — decoded to row-major top-down RGB(A)/gray bytes,
+/** Pure-JVM media codecs — no native libraries, no dependencies, fully
+  * deterministic. These are REAL decoders (header validation + pixel/sample
+  * payload parsing):
+  *   - BMP (24/32-bit BI_RGB, bottom-up or top-down), PPM/PGM (P6/P5) and
+  *     PNG (zlib inflate + full scanline unfiltering) for images — decoded
+  *     to row-major top-down RGB(A)/gray bytes,
   *   - WAV (RIFF PCM, chunk-walking, word-aligned) for audio,
   *   - Y4M (YUV4MPEG2, C444/C420) for video — frame count from the actual
   *     stream, not an assumed clip length.
-  * Compressed formats (JPEG/MP3/H.264) stay out of scope in this
+  * Entropy-coded formats (JPEG/MP3/H.264) stay out of scope in this
   * container; swapping in a JNI/javacv decoder changes no signatures.
   */
 object Codecs {
@@ -128,6 +128,167 @@ object Codecs {
     }
   }
 
+  /** PNG (ISO/IEC 15948) — a REAL compressed format, decoded entirely with
+    * the JDK: chunk walk with CRC-32 verification, zlib IDAT inflate
+    * (`java.util.zip.Inflater`), and per-scanline unfiltering (None / Sub /
+    * Up / Average / Paeth). Supported: 8-bit depth, color types 0 (gray),
+    * 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. The encoder emits
+    * zlib-deflated scanlines with a caller-selectable per-row filter
+    * (default: Sub on row 0, Up below — the cheap differential pair), so
+    * roundtrip tests exercise the unfilter paths.
+    */
+  object Png {
+    private val SIG = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def crc(typ: Array[Byte], data: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(typ); c.update(data)
+      c.getValue.toInt
+    }
+
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data).putInt(crc(t, data))
+      out.write(bb.array())
+    }
+
+    private def colorType(channels: Int): Int = channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case 4 => 6
+      case _ => -1
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    def encode(img: Image, filterForRow: Int => Int = y => if (y == 0) 1 else 2): Array[Byte] = {
+      val ct = colorType(img.channels)
+      require(ct >= 0, s"unsupported channel count ${img.channels}")
+      val ch = img.channels
+      val stride = img.width * ch
+      val raw = new Array[Byte]((stride + 1) * img.height)
+      var y = 0
+      while (y < img.height) {
+        val ft = filterForRow(y)
+        require(ft >= 0 && ft <= 4, s"filter $ft")
+        raw(y * (stride + 1)) = ft.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = img.pixels(y * stride + x) & 0xFF
+          val left = if (x >= ch) img.pixels(y * stride + x - ch) & 0xFF else 0
+          val up = if (y > 0) img.pixels((y - 1) * stride + x) & 0xFF else 0
+          val ul = if (y > 0 && x >= ch) img.pixels((y - 1) * stride + x - ch) & 0xFF else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(SIG)
+      val ihdr = ByteBuffer.allocate(13)
+        .putInt(img.width).putInt(img.height)
+        .put(8.toByte).put(ct.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk(out, "IHDR", ihdr.array())
+      chunk(out, "IDAT", zout.toByteArray)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < SIG.length + 12 || !bytes.startsWith(SIG)) return None
+      val bb = ByteBuffer.wrap(bytes)
+      var pos = SIG.length
+      var w = -1; var h = -1; var ch = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (!ended && pos + 12 <= bytes.length) {
+        val len = bb.getInt(pos)
+        if (len < 0 || pos + 12L + len > bytes.length) return None
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        val data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        if (bb.getInt(pos + 8 + len) != crc(typ.getBytes("US-ASCII"), data)) return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+            val bitDepth = bytes(pos + 16) & 0xFF
+            ch = (bytes(pos + 17) & 0xFF) match {
+              case 0 => 1
+              case 2 => 3
+              case 4 => 2
+              case 6 => 4
+              case _ => return None
+            }
+            // compression 0, filter 0, no interlace, 8-bit only
+            if (bitDepth != 8 || bytes(pos + 18) != 0 || bytes(pos + 19) != 0 ||
+              bytes(pos + 20) != 0) return None
+          case "IDAT" => idat.write(data)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped
+        }
+        pos += 12 + len
+      }
+      if (!ended || w <= 0 || h <= 0 || ch < 0) return None
+      val stride = w * ch
+      val raw = new Array[Byte]((stride + 1) * h)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !infl.finished()) {
+          val n = infl.inflate(raw, got, raw.length - got)
+          if (n == 0 && infl.needsInput()) return None // truncated stream
+          got += n
+        }
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally infl.end()
+      if (got < raw.length) return None
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (stride + 1)) & 0xFF
+        if (ft > 4) return None
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (stride + 1) + 1 + x) & 0xFF
+          val left = if (x >= ch) out(y * stride + x - ch) & 0xFF else 0
+          val up = if (y > 0) out((y - 1) * stride + x) & 0xFF else 0
+          val ul = if (y > 0 && x >= ch) out((y - 1) * stride + x - ch) & 0xFF else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          out(y * stride + x) = ((v + pred) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(w, h, ch, out))
+    }
+  }
+
   /** RIFF/WAVE PCM: walks the chunk list (word-aligned sizes, unknown
     * chunks like LIST skipped), requires an audioFormat=1 fmt chunk and a
     * data chunk; frames = dataLen / (channels * bytesPerSample).
@@ -231,6 +392,7 @@ object Codecs {
   /** Dispatch an image payload on its magic bytes. */
   def sniffImage(bytes: Array[Byte]): Option[Image] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Bmp.decode(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 0x89.toByte && bytes(1) == 'P') Png.decode(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P') Ppm.decode(bytes)
     else None
 
@@ -297,7 +459,12 @@ object Multimodal {
           val (w, h) = (16 + rnd.nextInt(64), 16 + rnd.nextInt(64))
           val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
           val img = Codecs.Image(w, h, 3, pix)
-          MediaRow(id, "image", if (id % 2 == 0) Codecs.Bmp.encode(img) else Codecs.Ppm.encode(img))
+          val enc = (id / 3) % 3 match {
+            case 0 => Codecs.Bmp.encode(img)
+            case 1 => Codecs.Ppm.encode(img)
+            case _ => Codecs.Png.encode(img)
+          }
+          MediaRow(id, "image", enc)
         case 1 =>
           val channels = 1 + rnd.nextInt(2)
           val rate = Seq(8000, 16000)(rnd.nextInt(2))
@@ -325,8 +492,9 @@ object Multimodal {
           var s = 0L
           var i = 0
           while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
-          ImageMeta(r.media_id, if (r.bytes(0) == 'B') "bmp" else "ppm",
-            img.width, img.height, img.channels, r.bytes.length, s)
+          val fmt = if (r.bytes(0) == 'B') "bmp"
+            else if (r.bytes(0) == 0x89.toByte) "png" else "ppm"
+          ImageMeta(r.media_id, fmt, img.width, img.height, img.channels, r.bytes.length, s)
         }
       }
     }

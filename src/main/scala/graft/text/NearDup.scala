@@ -96,6 +96,66 @@ object NearDup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-engine MinHash signature: hash i of a shingle is the 52-bit
+    * md5-prefix of "<shingle>#<i>" — md5 is identical across engines (the
+    * same device as TextOps.fingerprint), so unlike the xxhash64 kernel the
+    * whole signature is reproducible in ANSI SQL. One fold over the shingle
+    * array maintains all running minima.
+    */
+  private[graft] def minHashMd5(shingleArr: Column, numHashes: Int): Column =
+    aggregate(shingleArr,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, conv(substring(md5(
+          concat(s, lit("#"), i.cast("string"))), 1, 13), 16, 10).cast("long"))))
+
+  /** The full MinHash->band->bucket->verify pipeline in its cross-engine
+    * form: md5-derived signatures (minHashMd5), band keys that are the
+    * band's RAW minhash values joined as a string (no engine-specific band
+    * hash), and integer (inter, union) verification — every stage exactly
+    * reproducible in ANSI SQL, making the complete LSH dedup pipeline
+    * oracle-checkable end to end (SparkEntry d_minhash_pairs_md5). The
+    * xxhash64 variant (minHashLshPairs) is the production path — one
+    * engine-native hash per (shingle, seed) instead of an md5; this variant
+    * trades that speed for a DuckDB-verifiable contract.
+    *
+    * Pairs pass when inter * thresholdDen >= union * thresholdNum
+    * (integer-exact Jaccard threshold — no float compare anywhere).
+    *
+    * @return (a, b, inter, u) with a < b
+    */
+  def minHashLshPairsMd5(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                         bands: Int = 4, thresholdNum: Int = 1, thresholdDen: Int = 5,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val withSig = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      docs.select(col(idCol).as("id"), TextOps.shingles(col(textCol), k).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("id"), minHashMd5(col("sh"), numHashes).as("sig")))
+    val buckets = withSig.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", slice(col("sig"), b * rows + 1, rows)).as("bv"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bv"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val verified = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      cand
+        .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
+        .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
+        .select(col("a"), col("b"),
+          TextOps.shingles(col("ta"), k).as("sa"), TextOps.shingles(col("tb"), k).as("sb"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          size(array_union(col("sa"), col("sb"))).cast("long").as("u")))
+    verified.filter(col("inter") * thresholdDen >= col("u") * thresholdNum)
+  }
+
   /** Bit masks 1L<<0 .. 1L<<63 as an array literal — Spark's shiftright
     * only takes a Scala-Int shift amount, so per-bit work inside lambdas
     * tests against masks instead of shifting by a lambda variable.

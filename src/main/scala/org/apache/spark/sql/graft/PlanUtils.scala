@@ -34,6 +34,14 @@ object PlanUtils {
       ck.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Block until the async listener bus has delivered all posted events —
+    * required before reading metrics accumulated by a SparkListener
+    * (task-end events post asynchronously). private[spark] on SparkContext,
+    * hence surfaced here.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMs: Long = 30000): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Unpersist the blocks behind a checkpointTruncated DataFrame that is no
     * longer referenced — long iterative loops otherwise accumulate one set
     * of persisted partitions per iteration for the life of the job. Safe on

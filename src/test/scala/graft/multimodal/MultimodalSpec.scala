@@ -40,6 +40,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.Ppm.decode("P6\n3 2\n255\n".getBytes("US-ASCII") ++ pix3x2.take(5)).isEmpty)
   }
 
+  test("PNG: roundtrip through every filter type, RGBA/gray, CRC + truncation rejected") {
+    // all five filters across rows (height 5): None, Sub, Up, Average, Paeth
+    val tall = Codecs.Image(3, 5, 3, Array.tabulate(45)(i => ((i * 37 + 11) % 256).toByte))
+    val enc = Codecs.Png.encode(tall, filterForRow = y => y % 5)
+    val dec = Codecs.Png.decode(enc).get
+    assert(dec.width === 3 && dec.height === 5 && dec.channels === 3)
+    assert(dec.pixels.toSeq === tall.pixels.toSeq)
+    // default filter choice roundtrips too
+    assert(Codecs.Png.decode(Codecs.Png.encode(img3x2)).get.pixels.toSeq === pix3x2.toSeq)
+    // RGBA and gray color types
+    val rgba = Codecs.Image(2, 2, 4, Array.tabulate(16)(i => (i * 15).toByte))
+    assert(Codecs.Png.decode(Codecs.Png.encode(rgba)).get === rgba ||
+      Codecs.Png.decode(Codecs.Png.encode(rgba)).get.pixels.toSeq === rgba.pixels.toSeq)
+    val gray = Codecs.Image(4, 3, 1, Array.tabulate(12)(i => (200 - i * 9).toByte))
+    assert(Codecs.Png.decode(Codecs.Png.encode(gray)).get.pixels.toSeq === gray.pixels.toSeq)
+    // a flipped bit inside IDAT breaks the chunk CRC -> rejected
+    val corrupt = enc.clone()
+    corrupt(8 + 25 + 12) = (corrupt(8 + 25 + 12) ^ 0x40).toByte // inside IDAT payload
+    assert(Codecs.Png.decode(corrupt).isEmpty)
+    // truncated stream (IEND never seen) -> rejected
+    assert(Codecs.Png.decode(enc.dropRight(13)).isEmpty)
+    assert(Codecs.Png.decode("not a png at all".getBytes).isEmpty)
+  }
+
+  test("PNG: sniffImage dispatches on the 0x89 'P' signature") {
+    val enc = Codecs.Png.encode(img3x2)
+    assert(Codecs.sniffImage(enc).get.pixels.toSeq === pix3x2.toSeq)
+  }
+
   test("WAV: PCM roundtrip, unknown chunks skipped, non-PCM rejected") {
     val samples = Array.tabulate(96)(i => (i * 100 - 4800).toShort)
     val enc = Codecs.Wav.encode(2, 16000, samples)
@@ -78,7 +107,7 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.syntheticMedia(spark, 90)
     val meta = Multimodal.decodeImageMeta(media).collect()
     assert(meta.length === 30) // id % 3 == 0 rows are images
-    assert(meta.map(_.format).toSet === Set("bmp", "ppm"))
+    assert(meta.map(_.format).toSet === Set("bmp", "ppm", "png"))
     meta.foreach { m =>
       // synthetic raster: pixel i = (id*31 + i*7) % 256 — recompute the sum
       val want = (0 until m.width * m.height * 3).map(i => ((m.media_id * 31 + i * 7) % 256)).sum

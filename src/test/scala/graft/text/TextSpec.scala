@@ -116,6 +116,28 @@ class TextSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("md5-minhash LSH pipeline: planted pairs found with exact integer jaccard") {
+    // thresholdNum/Den = 2/3 (jaccard >= 0.667): (0,3) identical (4/4)
+    // passes; (0,1) shares 3 of 5 shingles (0.6 < 2/3) -> excluded even
+    // when bucketed together
+    val pairs = NearDup.minHashLshPairsMd5(docsDF, thresholdNum = 2, thresholdDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) === ((4L, 4L)), s"pairs=$pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 1L)))
+    // md5 signature is stable across partitionings (cross-engine contract)
+    val sig1 = docsDF.repartition(7)
+      .select(col("doc_id"), NearDup.minHashMd5(TextOps.shingles(col("text"), 3), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sig2 = docsDF.coalesce(1)
+      .select(col("doc_id"), NearDup.minHashMd5(TextOps.shingles(col("text"), 3), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1 === sig2)
+    assert(sig1(0L) === sig1(3L))
+    assert(sig1(0L) !== sig1(2L))
+    // every hash is the 52-bit md5 prefix: bounded below 2^52
+    assert(sig1.values.flatten.forall(h => h >= 0 && h < (1L << 52)))
+  }
+
   test("simhash: identical texts distance 0, near texts close, far texts far") {
     val sig = docsDF.select(col("doc_id"), NearDup.simHash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
