@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   *     --edges PATH       parquet edge table (src,dst,w); symmetrized here
   *     --fixture N        or: deterministic seeded web-ish graph, N vertices
   *     --sketch K         leiden: Misra-Gries slots (0 = exact scan)
+  *     --localfirst N     leiden: N partition-local CSR sweeps seed pass 0 (P4)
   *     --snapshot DIR     leiden: per-pass checkpoint dir (resume-aware)
   *     --out PATH         write result parquet (default: print summary only)
   *
@@ -59,6 +60,7 @@ object Cli {
       case "leiden" =>
         val r = Leiden.detect(edges, LeidenOptions(
           sketchSlots = opts.getOrElse("--sketch", "0").toInt,
+          localFirstPassIters = opts.getOrElse("--localfirst", "0").toInt,
           // CLI opts into the churn stop (library default 0 = reference
           // termination semantics); --min-moved 0 restores the reference
           minMovedFraction = opts.getOrElse("--min-moved", "1e-3").toDouble,

@@ -86,9 +86,13 @@ object Roofline {
   private def f(d: Double) = "%.3f".format(d)
 
   /** Shuffle traffic + executor CPU per Leiden superstep window at `cores`
-    * threads — same fixture, warmup and window shape as Bench's headline.
+    * threads — same fixture, warmup, window shape and best-of-reps
+    * discipline as Bench's headline (every repetition restarts from the
+    * same post-warmup state; bytes/CPU come from the same window as the
+    * reported wall time).
     */
-  def leidenSuperstepTraffic(cores: Int, nVerts: Long, iters: Int = 2): Traffic = {
+  def leidenSuperstepTraffic(cores: Int, nVerts: Long, iters: Int = 2,
+                             reps: Int = 3): Traffic = {
     val spark = Sessions.local(cores, s"graft-roofline-$cores")
     try {
       val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
@@ -96,7 +100,7 @@ object Roofline {
       val m = EdgeTable.totalWeight(edges) / 2
       val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
       val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
-      var state = LocalMove.sweep(edges, init, m, 1.0, 0).state
+      val warm = LocalMove.sweep(edges, init, m, 1.0, 0).state
 
       val read = new AtomicLong; val write = new AtomicLong; val cpuNs = new AtomicLong
       val listener = new SparkListener {
@@ -109,22 +113,30 @@ object Roofline {
           }
         }
       }
-      spark.sparkContext.addSparkListener(listener)
-      val t0 = System.nanoTime()
-      var done = 0
-      while (done < iters) {
-        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1).state
-        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0).state
-        if ((state ne s1) && (state ne s2)) PlanUtils.release(state)
-        if (s1 ne s2) PlanUtils.release(s1)
-        state = s2
-        done += 1
+      var best: Option[Traffic] = None
+      for (_ <- 1 to reps) {
+        var state = warm
+        read.set(0); write.set(0); cpuNs.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        var done = 0
+        while (done < iters) {
+          val s1 = LocalMove.sweep(edges, state, m, 1.0, 1).state
+          val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0).state
+          if ((state ne warm) && (state ne s1) && (state ne s2)) PlanUtils.release(state)
+          if ((s1 ne warm) && (s1 ne s2)) PlanUtils.release(s1)
+          state = s2
+          done += 1
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are posted asynchronously; drain before reading
+        PlanUtils.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(listener)
+        if (state ne warm) PlanUtils.release(state)
+        val t = Traffic(cores, e, iters, wall, read.get(), write.get(), cpuNs.get() / 1e9)
+        if (best.forall(_.wallSecs > wall)) best = Some(t)
       }
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are posted asynchronously; drain before reading
-      PlanUtils.drainListenerBus(spark)
-      spark.sparkContext.removeSparkListener(listener)
-      Traffic(cores, e, iters, wall, read.get(), write.get(), cpuNs.get() / 1e9)
+      best.get
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -69,6 +69,17 @@ object Leiden {
     // cache hash-partitioned by src: every half-sweep's gather join and the
     // affected-neighbor join key on src, so the E-row side never re-shuffles
     var edges = edges0.repartition(col("src")).cache()
+
+    // P4 partition-local first pass (opt-in): runs the high-churn singleton
+    // collapse shuffle-free and feeds the result through the same fi hook a
+    // caller-supplied warm start uses. An explicit prevMembership wins.
+    val seedMembership =
+      if (opts.localFirstPassIters > 0 && prevMembership.isEmpty)
+        Some(timed("firstpass_local") {
+          PlanUtils.checkpointTruncated(
+            LocalFirstPass.seed(edges, m, opts.resolution, opts.localFirstPassIters))
+        })
+      else prevMembership
     var leaf = PlanUtils.checkpointTruncated(verts0.select(col("id"), col("id").as("comm")))
     var gn = verts0.count()
     var tolerance = opts.tolerance
@@ -110,7 +121,7 @@ object Leiden {
               col("w").cast("double"))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           val init =
-            if (warm) prevMembership.map(_.select(col("id").cast("long"), col("comm").cast("long"))
+            if (warm) seedMembership.map(_.select(col("id").cast("long"), col("comm").cast("long"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
               .getOrElse(Map.empty[Long, Long])
             else Map.empty[Long, Long]
@@ -147,8 +158,8 @@ object Leiden {
       // init membership (fi) + affected marks (fm): warm start only applies
       // to the first pass of a non-resumed run
       val state0 = timed("mark") {
-        if (pass == firstPass && !resumed && (prevMembership.isDefined || affected.isDefined)) {
-          val withComm = prevMembership match {
+        if (pass == firstPass && !resumed && (seedMembership.isDefined || affected.isDefined)) {
+          val withComm = seedMembership match {
             case Some(pm) => vtot
               .join(pm.select(col("id"), col("comm").as("__pc")), Seq("id"), "left")
               .select(col("id"), coalesce(col("__pc"), col("id")).as("comm"), col("vtot"))
@@ -237,6 +248,8 @@ object Leiden {
       Modularity.modularity(edges0, leaf, m, opts.resolution)
     }
     edges.unpersist()
+    if (opts.localFirstPassIters > 0 && prevMembership.isEmpty)
+      seedMembership.foreach(PlanUtils.release)
     phase = phase.updated("total", System.currentTimeMillis() - t0)
     LeidenResult(leaf, totalIters, pass, q, communities, phase)
   }

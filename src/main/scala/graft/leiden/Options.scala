@@ -48,7 +48,16 @@ case class LeidenOptions(
     /** Directory for per-pass snapshots (checkpoint/resume). Empty = use
       * Spark localCheckpoint only (no durability).
       */
-    snapshotDir: Option[String] = None)
+    snapshotDir: Option[String] = None,
+    /** > 0 enables the partition-local CSR first pass (LocalFirstPass,
+      * SURVEY P4): each src-partition runs this many asynchronous local
+      * sweeps against stale remote state, and the result seeds pass 0 the
+      * same way `prevMembership` does. The bulk of all moves (singleton
+      * collapse) then happens with zero shuffled bytes. Off by default:
+      * a different (valid) move schedule reaches a different local optimum
+      * than the cold-start goldens. Ignored when `prevMembership` is given.
+      */
+    localFirstPassIters: Int = 0)
 
 /** Result record (`/root/reference/inc/leiden.hxx:73-145` analog).
   *

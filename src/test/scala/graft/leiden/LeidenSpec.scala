@@ -64,6 +64,45 @@ class LeidenSpec extends SparkSpec {
     assert(r.membership.except(r2.membership).count() === 0L)
   }
 
+  test("P4 local first pass: deterministic shuffle-free seed, full run still exact") {
+    // SBM fixture (same as the golden test)
+    val rnd = new Random(42)
+    val k = 4; val mSize = 30
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until k * mSize; b <- a + 1 until k * mSize) {
+      val p = if ((a / mSize) == (b / mSize)) 0.3 else 0.01
+      if (rnd.nextDouble() < p) es += ((a.toLong, b.toLong, 1.0))
+    }
+    val edges = EdgeTable.undirected(spark, es.result())
+    val m = EdgeTable.totalWeight(edges) / 2
+
+    // the seed genuinely moves vertices: its modularity beats singletons
+    val part = edges.repartition(col("src"))
+    val seed = LocalFirstPass.seed(part, m)
+    val singletons = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comm"))
+    val qSeed = Modularity.modularity(edges, seed, m)
+    val qSingle = Modularity.modularity(edges, singletons, m)
+    assert(qSeed > qSingle + 0.1, s"seed q=$qSeed singleton q=$qSingle")
+
+    // deterministic: a second invocation emits the identical membership
+    val seed2 = LocalFirstPass.seed(part, m)
+    assert(seed.except(seed2).count() === 0L && seed2.except(seed).count() === 0L)
+
+    // warm-started detect still lands on the planted blocks (both the
+    // distributed pass-0 and the driver-local tail consume the seed)
+    for (tail <- Seq(0L, 1000000L)) {
+      val r = Leiden.detect(edges, LeidenOptions(localFirstPassIters = 3,
+        localSolveEdgeThreshold = tail))
+      assert(r.communities === k.toLong, s"tail=$tail communities=${r.communities}")
+      assert(Leiden.disconnectedCommunities(edges, r.membership) === 0L)
+      val blocks = r.membership.collect().groupBy(_.getLong(1)).values
+        .map(_.map(_.getLong(0) / mSize).toSet).toSet
+      assert(blocks === (0 until k).map(b => Set(b.toLong)).toSet, s"tail=$tail")
+      assert(approx(r.modularity, 0.647583673693155, 1e-6), s"tail=$tail q=${r.modularity}")
+    }
+  }
+
   test("driver-local tail solver equals the distributed path bit-for-bit on exact-weight graphs") {
     val ring = {
       val k = 6; val s = 5
