@@ -147,7 +147,16 @@ object Bench {
           r.membership.groupBy("comm").agg(count(lit(1)).as("size")).count()
         } else queries(name)(spark, sfDir).count()
       } catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // per-query block hygiene: the queries are independent jobs whose
+      // result-side localCheckpoint blocks nobody can release from the
+      // outside; left in place they accumulate across the suite and the
+      // storage/GC pressure inflates every LATER query's measurement (a
+      // session that had run the two leiden queries measured minhash 25x
+      // slower than a fresh one). Dropped outside the timed window.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (secs, n)
     }
     stopSession(spark)
 
@@ -159,15 +168,29 @@ object Bench {
     def eff(lo: Double, hi: Double) = if (lo > 0) hi / lo / factor else 0.0
     var (shLo, epsLo, _, _) = measurePoint(loCores, fixtureVerts)
     var (shHi, epsHi, fixtureEdgeCount, supersteps) = measurePoint(cpus, fixtureVerts)
-    // sanity guard: efficiency > 1.05 over a 4x core step is physically
-    // meaningless — it can only mean the lo point ran cold. Remeasure lo
-    // (bounded retries), keeping the fastest lo observation.
+    // sanity guards, both directions (this shared host swings 2-7x between
+    // co-tenant contention windows):
+    //   - efficiency > 1.05 over a 4x core step is physically meaningless —
+    //     the lo point ran cold/contended; remeasure lo, keep the fastest.
+    //   - leiden efficiency < 0.25 means the HI point ran contended (the
+    //     honest shuffle-bound band across rounds is 0.4-0.6, and hi < lo
+    //     in absolute throughput is impossible for identical work);
+    //     remeasure hi, keep the fastest. Bounded retries; measurements are
+    //     never discarded upward — only the fastest observation of the SAME
+    //     deterministic job survives.
     var tries = 0
     while (tries < 2 && (eff(shLo, shHi) > 1.05 || eff(epsLo, epsHi) > 1.05)) {
       val (sh2, eps2, _, _) = measurePoint(loCores, fixtureVerts)
       shLo = math.max(shLo, sh2)
       epsLo = math.max(epsLo, eps2)
       tries += 1
+    }
+    var hiTries = 0
+    while (hiTries < 2 && eff(epsLo, epsHi) < 0.25) {
+      val (sh2, eps2, _, secs2) = measurePoint(cpus, fixtureVerts)
+      shHi = math.max(shHi, sh2)
+      if (eps2 > epsHi) { epsHi = eps2; supersteps = secs2 }
+      hiTries += 1
     }
     val (eps, _) = (epsHi, fixtureEdgeCount)
 
@@ -184,7 +207,7 @@ object Bench {
       s""""simhash_docs_per_sec_lo":${"%.0f".format(shLo)},"simhash_docs_per_sec_hi":${"%.0f".format(shHi)},""" +
       s""""simhash_efficiency":${"%.3f".format(eff(shLo, shHi))},""" +
       s""""leiden_eps_lo":${"%.0f".format(epsLo)},"leiden_eps_hi":${"%.0f".format(epsHi)},""" +
-      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))},"lo_remeasures":$tries}}"""
+      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))},"lo_remeasures":$tries,"hi_remeasures":$hiTries}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LINE.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
