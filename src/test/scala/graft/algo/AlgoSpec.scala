@@ -112,6 +112,20 @@ class AlgoSpec extends SparkSpec {
     assert(h === "86888741fed60597bfbb8c9c8487803e6ecdc24de1e0a926ec519ec3ed1eb412")
   }
 
+  test("DFS (T2): pre/post orders with ascending-neighbor rule; unreachable absent") {
+    // directed: 0->{1,2}, 1->3, 2->3, 4 isolated-from-source
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (4L, 0L, 1.0))
+      .toDF("src", "dst", "w")
+    val o = Dfs.run(e, 0L).collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // ascending-neighbor DFS from 0: visit 0,1,3 (3's nbrs empty), back to 0, then 2
+    assert(o === Map(0L -> ((0, 3)), 1L -> ((1, 1)), 3L -> ((2, 0)), 2L -> ((3, 2))))
+    assert(!o.contains(4L)) // 4 reaches 0, but 0 does not reach 4
+    // edge bound is enforced, not silently truncated
+    intercept[IllegalArgumentException](Dfs.run(e, 0L, maxEdges = 2))
+  }
+
   test("triangles: two K4 + bridge = 8 triangles, 3 per clique vertex; cycle has 0 (F4)") {
     val edges = EdgeTable.undirected(spark,
       clique(0L to 3L) ++ clique(4L to 7L) :+ ((3L, 4L, 1.0)))
