@@ -91,6 +91,16 @@ object EdgeTable {
   def vertexWeights(edges: DataFrame): DataFrame =
     edges.groupBy(col(SRC).as("id")).agg(sum(W).as("vtot"))
 
+  /** Point lookup: the out-neighborhood of one vertex (SURVEY.md §2.2 P3;
+    * `/root/reference/inc/Graph.hxx` per-vertex edge iteration). A plain
+    * src-equality filter — on the canonical edge table (hash-partitioned by
+    * src, sorted within partitions) Catalyst pushes the predicate into the
+    * scan and, with src-bucketed storage, prunes to a single bucket; no
+    * shuffle, no full scan at rest.
+    */
+  def neighborsOf(edges: DataFrame, vertex: Long): DataFrame =
+    edges.filter(col(SRC) === vertex).select(col(DST), col(W))
+
   /** Distinct vertex ids appearing as src or dst. */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col(SRC).as("id")).union(edges.select(col(DST).as("id"))).distinct()

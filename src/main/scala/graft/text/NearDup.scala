@@ -162,6 +162,57 @@ object NearDup {
     */
   private val BITMASKS = array((0 until 64).map(j => lit(1L << j)): _*)
 
+  /** Cross-engine 48-bit SimHash: the per-token hash is the 48-bit md5
+    * prefix (the same engine-portable device as TextOps.fingerprint and
+    * minHashMd5), votes and sign-packing are plain integer arithmetic, so
+    * the whole signature — unlike the xxhash64 production kernel — is
+    * exactly reproducible in ANSI SQL. 48 bits keep every intermediate in
+    * an exact BIGINT in both engines; a zero vote sum packs bit 0 (strict
+    * `> 0` rule) on both sides.
+    */
+  private[graft] def simHashMd5(text: Column, bits: Int = 48): Column = {
+    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
+    val hashes = transform(TextOps.tokens(text),
+      t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    val votes = aggregate(hashes,
+      transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** The full SimHash near-dup pipeline in its cross-engine form:
+    * md5-derived 48-bit signatures (simHashMd5), pigeonhole blocking on 4
+    * chunks of 12 bits (two signatures within Hamming distance d < 4 share
+    * at least one chunk exactly), Hamming verify via bit_count(xor) —
+    * every stage integer-exact and reproducible in ANSI SQL, making the
+    * complete SimHash dedup pipeline oracle-checkable end to end
+    * (SparkEntry d_simhash_pairs_md5). The xxhash64 variant (simHashPairs)
+    * is the production path — one native hash per token and 64 signature
+    * bits; this variant trades that for a DuckDB-verifiable contract.
+    *
+    * @return (a, b, hamming) with a < b, hamming <= maxHamming
+    */
+  def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < 4, "chunk blocking assumes maxHamming < 4")
+    val sigs = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      docs.select(col(idCol).as("id"), simHashMd5(col(textCol)).as("sig")))
+    val chunks = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("sig"), c * 12).bitwiseAND(lit(0xFFFL)).as("v"))): _*)).as("ch"))
+      .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.sig"), col("y.sig")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit j is the sign of the summed
     * (+1/-1) votes from bit j of each token's xxhash64. Native codegen'd
     * expression (graft.catalyst.SimHash64Expr) — one hash per token, one

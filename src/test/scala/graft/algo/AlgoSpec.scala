@@ -39,6 +39,25 @@ class AlgoSpec extends SparkSpec {
     }
   }
 
+  test("pagerank fixed-iteration nano-ranks: tail, distributed, sequential agree") {
+    // the g_pagerank_k5 oracle contract: 5 fixed power iterations rounded
+    // to integer nano-ranks are identical whatever the execution path or
+    // summation order (the double noise between paths is ~1e-16 relative,
+    // ~1e10x below the 1e-9 grid)
+    val rnd = new Random(7)
+    val es = (for (a <- 0 until 34; b <- 0 until 34 if a != b && rnd.nextDouble() < 0.12)
+      yield (a.toLong, b.toLong, 1.0 + rnd.nextInt(3).toDouble))
+    val edges = EdgeTable.of(spark, es)
+    def nano(m: Map[Long, Double]) =
+      m.view.mapValues(v => math.floor(v * 1e9 + 0.5).toLong).toMap
+    val want = nano(PageRank.sequential(es, tol = 0.0, maxIters = 5))
+    for (thresh <- Seq(2000000L, 0L)) {
+      val got = nano(PageRank.run(edges, tol = 0.0, maxIters = 5, localEdgeThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      assert(got === want, s"thresh=$thresh")
+    }
+  }
+
   test("connected components: forest of 3 trees gets min-id labels (F4)") {
     val es = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), // tree A
       (10L, 11L, 1.0), // tree B

@@ -40,6 +40,14 @@ class EdgesSpec extends SparkSpec {
     assert(loops === Map(0L -> 1.0, 1L -> 7.0)) // existing loop untouched
   }
 
+  test("neighborsOf is the exact out-neighborhood of one vertex") {
+    val e = EdgeTable.of(spark, Seq((0L, 1L, 2.0), (0L, 2L, 3.0), (1L, 2L, 4.0)))
+    val n = EdgeTable.neighborsOf(e, 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(n === Set((1L, 2.0), (2L, 3.0)))
+    assert(EdgeTable.neighborsOf(e, 9L).isEmpty)
+  }
+
   test("filterGraph drops edges of dropped vertices") {
     val e = EdgeTable.undirected(spark, Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0)))
     val spark2 = spark

@@ -146,4 +146,33 @@ class TextSpec extends SparkSpec {
     assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)),
       s"near=${ham(sig(0L), sig(1L))} far=${ham(sig(0L), sig(2L))}")
   }
+
+  test("md5-simhash pipeline: exact dup at hamming 0, 48-bit signatures stable") {
+    // (0,3) are identical texts -> hamming 0, always pigeonholed together
+    val pairs = NearDup.simHashPairsMd5(docsDF, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) === 0L, s"pairs=$pairs")
+    assert(!pairs.contains((0L, 2L)))
+    // signature is a pure function of the text: stable across partitionings
+    // (the cross-engine contract) and bounded to 48 bits
+    val s1 = docsDF.repartition(7)
+      .select(col("doc_id"), NearDup.simHashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = docsDF.coalesce(1)
+      .select(col("doc_id"), NearDup.simHashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    assert(s1(0L) === s1(3L))
+    assert(s1.values.forall(s => s >= 0 && s < (1L << 48)))
+    // 48-bit hand check on a one-token doc: signature == the token's own
+    // md5-derived hash (every vote is +1 exactly where the hash bit is set)
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq((9L, "cat")).toDF("doc_id", "text")
+    val hs = one.select(
+        NearDup.simHashMd5(col("text")).as("s"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"))
+      .head()
+    assert(hs.getLong(0) === hs.getLong(1))
+  }
 }
