@@ -127,6 +127,21 @@ object SparkEntry {
       val v = e.agg(min("src").cast("long")).head.getLong(0)
       EdgeTable.neighborsOf(e, v)
     }),
+    "g_batch_update" -> ((s, dir) => { // oracle: SO1-SO3 dynamic batch —
+      // symmetric delete (incl. nonexistent rows the tidy pass must drop)
+      // then symmetric insert (incl. edges colliding with survivors and
+      // re-inserts of just-deleted pairs), degrees of the next snapshot
+      val e = bipartite(s, dir)
+      val del = e.filter(col("dst") % 3 === 0).select("src", "dst")
+        .unionByName(e.filter(col("dst") % 5 === 0)
+          .select(col("src"), (col("dst") + 777777L).as("dst")))
+      val ins = li(s, dir).filter(col("l_partkey") % 4 === 0)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + 100000L).as("dst"))
+        .unionByName(li(s, dir).filter(col("l_suppkey") % 50 === 0)
+          .select(col("l_suppkey").as("src"), (col("l_partkey") + 300000L).as("dst")))
+        .distinct().withColumn("w", lit(2.0))
+      EdgeTable.degrees(graft.graph.Batch(e, ins, del, symmetric = true))
+    }),
     "g_lpa" -> ((s, dir) => // rows-only: iterative fixpoint
       LabelProp.run(copurchaseSym(s, dir)).groupBy("label").agg(count(lit(1)).as("size"))),
     "g_leiden" -> ((s, dir) => { // rows-only: flagship algorithm
@@ -205,8 +220,25 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Ann.ivfTopK(queries, corpus, 5).drop("cosine")
     }),
-    "e_neardup" -> ((s, dir) => // rows-only: float threshold
+    "e_ann_lsh_md5" -> ((s, dir) => { // oracle: full LSH top-k pipeline,
+      // md5-derived planes, rank-only output (margins in Ann scaladoc)
+      val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.lshTopKMd5(queries, corpus, 5)
+    }),
+    "e_ann_ivf_md5" -> ((s, dir) => { // oracle: full IVF nprobe pipeline,
+      // md5-chosen centroids, rank-only output (margins in Ann scaladoc)
+      val corpus = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.ivfTopKMd5(queries, corpus, 5)
+    }),
+    "e_neardup" -> ((s, dir) => // rows-only: engine-specific hash planes
       Ann.cosineNearDupPairs(emb(s, dir), 0.4)),
+    "e_neardup_md5" -> ((s, dir) => // oracle: full LSH-blocked embedding
+      // dedup pipeline, md5-derived planes (margins in Ann scaladoc)
+      Ann.cosineNearDupPairsMd5(emb(s, dir))),
     // --- events ---------------------------------------------------------
     "ev_window" -> ((s, dir) =>
       ev(s, dir).groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -294,6 +326,23 @@ object SparkEntry {
         |pairs AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
         |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
         |SELECT dst, w FROM pairs WHERE src = (SELECT min(src) FROM pairs)""".stripMargin,
+    "g_batch_update" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |del0 AS (SELECT src, dst FROM e WHERE dst % 3 = 0
+        |         UNION ALL SELECT src, dst + 777777 FROM e WHERE dst % 5 = 0),
+        |delm AS (SELECT src, dst FROM del0 UNION SELECT dst, src FROM del0),
+        |tdel AS (SELECT d.src, d.dst FROM delm d
+        |         WHERE EXISTS (SELECT 1 FROM e WHERE e.src = d.src AND e.dst = d.dst)),
+        |afterdel AS (SELECT src, dst FROM e
+        |             WHERE NOT EXISTS (SELECT 1 FROM tdel t WHERE t.src = e.src AND t.dst = e.dst)),
+        |ins0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem WHERE l_partkey % 4 = 0
+        |         UNION SELECT DISTINCT l_suppkey, l_partkey + 300000 FROM lineitem WHERE l_suppkey % 50 = 0),
+        |insm AS (SELECT src, dst FROM ins0 UNION SELECT dst, src FROM ins0),
+        |tins AS (SELECT i.src, i.dst FROM insm i
+        |         WHERE NOT EXISTS (SELECT 1 FROM afterdel a WHERE a.src = i.src AND a.dst = i.dst)),
+        |final AS (SELECT src, dst FROM afterdel UNION ALL SELECT src, dst FROM tins)
+        |SELECT src AS id, count(*) AS degree FROM final GROUP BY src""".stripMargin,
     "g_degree" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
@@ -413,6 +462,48 @@ object SparkEntry {
         |SELECT qid, id, rank FROM (
         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
         |  FROM scored) t WHERE rank <= 5""".stripMargin,
+    "e_ann_lsh_md5" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |pl AS (SELECT p, d, (CAST('0x'||substr(md5(CAST(p AS VARCHAR)||'#'||CAST(d AS VARCHAR)),1,12) AS BIGINT) % 2000001 - 1000000)/1000000.0 AS c
+        |       FROM UNNEST(generate_series(0,15)) AS gp(p), UNNEST(generate_series(0,63)) AS gd(d)),
+        |dots AS (SELECT v.id, pl.p, sum(vec[pl.d+1] * pl.c) AS dot FROM v, pl GROUP BY v.id, pl.p),
+        |sig AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (15-p)) ELSE 0 END) AS BIGINT) AS sig FROM dots GROUP BY id),
+        |cb AS (SELECT id, t, (sig >> (t*4)) & 15 AS bk FROM sig, UNNEST(generate_series(0,3)) AS gt(t)),
+        |q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
+        |qb AS (SELECT q.qid, cb.t, cb.bk FROM q JOIN cb ON cb.id = q.qid),
+        |cand AS (SELECT DISTINCT qb.qid, cb.id FROM qb JOIN cb ON cb.t = qb.t AND cb.bk = qb.bk AND cb.id <> qb.qid),
+        |scored AS (SELECT c.qid, c.id, list_cosine_similarity(vq.vec, vc.vec) AS cos
+        |           FROM cand c JOIN v vq ON vq.id = c.qid JOIN v vc ON vc.id = c.id)
+        |SELECT qid, id, rank FROM (
+        |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
+    "e_ann_ivf_md5" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |cents AS (SELECT id AS cid, vec AS cvec FROM v
+        |          ORDER BY CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,12) AS BIGINT), id LIMIT 16),
+        |asim AS (SELECT v.id, c.cid, list_cosine_similarity(v.vec, c.cvec) AS sim FROM v CROSS JOIN cents c),
+        |assigned AS (SELECT id, cid AS cell FROM (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn FROM asim) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 20),
+        |qsim AS (SELECT q.qid, c.cid, list_cosine_similarity(q.qvec, c.cvec) AS sim FROM q CROSS JOIN cents c),
+        |probes AS (SELECT qid, cid AS cell FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM qsim) t WHERE rn <= 4)
+        |SELECT qid, id, rank FROM (
+        |  SELECT p.qid, a.id, row_number() OVER (PARTITION BY p.qid ORDER BY list_cosine_similarity(q.qvec, v.vec) DESC, a.id) AS rank
+        |  FROM probes p JOIN assigned a ON a.cell = p.cell JOIN q ON q.qid = p.qid JOIN v ON v.id = a.id
+        |  WHERE a.id <> p.qid) t WHERE rank <= 5""".stripMargin,
+    "e_neardup_md5" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |pl AS (SELECT p, d, (CAST('0x'||substr(md5(CAST(p AS VARCHAR)||'#'||CAST(d AS VARCHAR)),1,12) AS BIGINT) % 2000001 - 1000000)/1000000.0 AS c
+        |       FROM UNNEST(generate_series(0,15)) AS gp(p), UNNEST(generate_series(0,63)) AS gd(d)),
+        |dots AS (SELECT v.id, pl.p, sum(vec[pl.d+1] * pl.c) AS dot FROM v, pl GROUP BY v.id, pl.p),
+        |sig AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (15-p)) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM dots GROUP BY id),
+        |buckets AS (SELECT id, t, (sig >> (t*4)) & 15 AS bk FROM sig, UNNEST(generate_series(0,3)) AS gt(t)),
+        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+        |         FROM buckets x JOIN buckets y ON x.t = y.t AND x.bk = y.bk AND x.id < y.id)
+        |SELECT c.a, c.b FROM cand c JOIN v va ON va.id = c.a JOIN v vb ON vb.id = c.b
+        |WHERE list_cosine_similarity(va.vec, vb.vec) >= 0.4""".stripMargin,
     "d_subwords" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) +

@@ -90,6 +90,34 @@ object Ann {
       .select("qid", "id", "rank", "cosine")
   }
 
+  /** Cross-engine LSH top-k twin: identical banded bucket search but with
+    * md5-derived hyperplanes (lshSignatureMd5) and rank-only output, so the
+    * whole approximate-top-k pipeline is reproducible in ANSI SQL
+    * (SparkEntry e_ann_lsh_md5). Measured sf0.01 margins: plane-sign 3.6e-5,
+    * rank adjacency 1.9e-5 — far above cross-engine double noise. lshTopK
+    * (xxhash64 planes) stays the production path.
+    */
+  def lshTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 planes: Int = 16, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = planes / tables
+    def buckets(df: DataFrame, idc: String, vc: String) =
+      df.select(col(idc), lshSignatureMd5(col(vc), planes).as("sig"))
+        .select(col(idc), explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              shiftright(col("sig"), t * rows)
+                .bitwiseAND(lit((1L << rows) - 1)).as("bk"))): _*)).as("b"))
+        .select(col(idc), col("b.t"), col("b.bk"))
+    val cand = buckets(queries, "qid", "qvec").join(buckets(corpus, "id", "vec"), Seq("t", "bk"))
+      .filter(col("qid") =!= col("id"))
+      .select("qid", "id").distinct()
+    val scored = cand.join(queries, "qid").join(corpus, "id")
+      .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the scale path for
     * billion-vector corpora. `nlist` coarse centroids are chosen
     * DETERMINISTICALLY (the corpus vectors with the smallest xxhash64(id) —
@@ -109,9 +137,26 @@ object Ann {
     * @return (qid, id, rank, cosine), rank 1..k per query
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(queries, corpus, k, nprobe, ivfCentroids(corpus, nlist))
+
+  /** Cross-engine IVF twin: identical search, but centroids are the nlist
+    * corpus vectors with the smallest 48-bit md5(id) (the engine-portable
+    * device of the text/embedding md5 twins) and the output is rank-only —
+    * every stage reproducible in ANSI SQL (SparkEntry e_ann_ivf_md5).
+    * Decision margins measured at sf0.01: cell-assignment top-2 centroid
+    * gap 8.4e-5, probe cut gap 7.6e-4, rank gap 1.7e-4 — all ~1e11x above
+    * cross-engine double noise. ivfTopK (xxhash64 sampling) stays the
+    * production path.
+    */
+  def ivfTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(queries, corpus, k, nprobe, ivfCentroids(corpus, nlist, md5Order = true))
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
+
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nprobe: Int, cents: Array[(Long, Column)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = ivfCentroids(corpus, nlist)
     // assign each corpus vector to its nearest centroid (max cosine, ties
     // to the smallest centroid id — deterministic): a pure per-row argmax
     // expression over the centroid literals — zero exchanges of the corpus
@@ -140,14 +185,18 @@ object Ann {
     * as the query set) and returned as (cid, vector-literal Column) pairs,
     * so cell assignment/probing are pure per-row expressions.
     */
-  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Column)] = {
+  private[graft] def ivfCentroids(corpus: DataFrame, nlist: Int,
+                                  md5Order: Boolean = false): Array[(Long, Column)] = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val floatElems = corpus.schema("vec").dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
-      .orderBy("h").limit(nlist)
+    val h = if (md5Order) // cross-engine ordering for the md5 twin
+      conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).cast("long")
+    else xxhash64(col("id"))
+    corpus.select(col("id"), col("vec"), h.as("h"))
+      .orderBy(col("h"), col("id")).limit(nlist)
       .select(col("id"), col("vec")).collect()
       .map { r =>
         val vlit = if (floatElems) typedlit(r.getSeq[Float](1))
@@ -164,6 +213,61 @@ object Ann {
       array_max(array(cents.map { case (cid, cv) =>
         struct(cosine(col("vec"), cv).as("sim"), lit(-cid).as("tb"), lit(cid).as("cell"))
       }: _*)).getField("cell").as("cell"))
+
+  /** Cross-engine hyperplane signature: plane p's component d derives from
+    * the 48-bit md5 prefix of "p#d" (the same engine-portable device as the
+    * text pipeline's md5 twins) instead of xxhash64, so the whole signature
+    * is reproducible in ANSI SQL. Integer plane components are exact in
+    * double; the sign fold gives plane p weight 2^(planes-1-p).
+    */
+  private[graft] def lshSignatureMd5(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => acc * lit(2L) + when(
+        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, d) => v.cast("double") *
+            ((pmod(conv(substring(md5(concat(p.cast("string"), lit("#"),
+              d.cast("string"))), 1, 12), 16, 10).cast("long"),
+              lit(2000001L)) - lit(1000000L)).cast("double") / lit(1000000.0))),
+          lit(0.0), (a, x) => a + x) > 0,
+        lit(1L)).otherwise(lit(0L)))
+
+  /** The full embedding near-dup pipeline in its cross-engine form:
+    * md5-derived hyperplane signatures (lshSignatureMd5), banded bucket
+    * join, exact double-cosine verify, integer (a, b) output — every stage
+    * reproducible in ANSI SQL (SparkEntry e_neardup_md5). Decision margins
+    * measured at sf0.01: min |plane dot| 3.6e-5 and min |cosine-threshold|
+    * 1.3e-4, both ~1e11x above cross-engine double-summation noise, so
+    * sign bits and the threshold cannot flip between engines. The xxhash64
+    * variant (cosineNearDupPairs) is the production path.
+    *
+    * @return (a, b) with a < b, cosine(a, b) >= threshold
+    */
+  def cosineNearDupPairsMd5(vecs: DataFrame, threshold: Double = 0.4,
+                            planes: Int = 16, tables: Int = 4,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = planes / tables
+    // signature projected ONCE below the band explode (multi-reference
+    // guard keeps the 16x64-md5 expression from inlining per band)
+    val b = vecs.select(col(idCol).as("id"),
+        lshSignatureMd5(col(vecCol), planes).as("sig"))
+      .select(col("id"), explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            shiftright(col("sig"), t * rows)
+              .bitwiseAND(lit((1L << rows) - 1)).as("bk"))): _*)).as("bb"))
+      .select(col("id"), col("bb.t"), col("bb.bk"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val va = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(va, "a").join(vb, "b")
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("a"), col("b"))
+  }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * blocking + exact verification. (a, b, cosine), a < b.

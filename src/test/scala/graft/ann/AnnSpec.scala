@@ -101,4 +101,48 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)), s"pairs=$pairs")
   }
+
+  test("md5 ANN twins (LSH + IVF): rank-only top-k, nonzero recall vs brute force") {
+    val df = vecsDF(200, 16, 2).cache()
+    val queries = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Ann.bruteForceTopK(queries, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopKMd5(queries, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ivf = Ann.ivfTopKMd5(queries, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+    assert((lsh ++ ivf).forall(t => t._3 >= 1 && t._3 <= 5))
+    val rl = (exact & lsh.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    val ri = (exact & ivf.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(rl > 0.2, s"lsh recall=$rl")
+    assert(ri > 0.1, s"ivf recall=$ri")
+  }
+
+  test("md5-plane near-dup pipeline finds planted duplicates; signatures stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(3)
+    val base = Array.fill(16)(rnd.nextFloat())
+    val nearly = base.clone(); nearly(0) += 0.001f
+    val vecs = (Seq((0L, base), (1L, nearly)) ++
+      (2 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairsMd5(vecs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"pairs=$pairs")
+    // md5 signatures are a pure function of the vector (the cross-engine
+    // contract): stable across partitionings, near-identical vectors land
+    // in the same buckets, and all 16 sign bits fit the planes-bit budget
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), Ann.lshSignatureMd5(col("embedding"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = sigs(vecs.repartition(7))
+    val s2 = sigs(vecs.coalesce(1))
+    assert(s1 === s2)
+    assert(s1(0L) === s1(1L))
+    assert(s1.values.forall(s => s >= 0 && s < (1L << 16)))
+  }
 }
