@@ -104,6 +104,126 @@ object Bench {
     nDocs.toDouble / best
   }
 
+  /** Package the compiled classes into a temp jar for spark-submit (the
+    * executor-mode scaling pair). Pure-JVM jar write — no sbt dependency at
+    * bench time.
+    */
+  private def makeClassesJar(): Option[java.nio.file.Path] = {
+    val classesDir = java.nio.file.Paths.get("target/scala-2.13/classes").toAbsolutePath
+    if (!java.nio.file.Files.isDirectory(classesDir)) return None
+    val jar = java.nio.file.Files.createTempFile("graft-scale", ".jar")
+    val jos = new java.util.jar.JarOutputStream(java.nio.file.Files.newOutputStream(jar))
+    val stream = java.nio.file.Files.walk(classesDir)
+    try {
+      stream.filter(p => java.nio.file.Files.isRegularFile(p)).forEach { p =>
+        jos.putNextEntry(new java.util.zip.ZipEntry(
+          classesDir.relativize(p).toString.replace('\\', '/')))
+        java.nio.file.Files.copy(p, jos)
+        jos.closeEntry()
+      }
+    } finally { stream.close(); jos.close() }
+    Some(jar)
+  }
+
+  /** One executor-mode scaling point: spark-submit ScaleBench against a
+    * `local-cluster[executors, coresPerExec, memMb]` master — real
+    * standalone executor JVMs (own heaps/GC/netty shuffle), the closest
+    * one-box emulation of the north rule's "spark-submit on a
+    * multi-executor cluster at N and 4N executors". Returns the parsed
+    * (simhash docs/s, leiden eps, superstep secs) or None on any failure.
+    */
+  private def executorScalePoint(executors: Int, coresPerExec: Int,
+                                 jar: java.nio.file.Path, verts: Long): Option[(Double, Double, Double, Double)] = {
+    val submit = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+    if (!java.nio.file.Files.isExecutable(submit)) return None
+    val out = java.nio.file.Files.createTempFile("graft-scale-out", ".json")
+    val log = java.nio.file.Files.createTempFile("graft-scale-log", ".log")
+    val pb = new ProcessBuilder(
+      submit.toString,
+      "--master", s"local-cluster[$executors,$coresPerExec,13312]",
+      "--class", "graft.ScaleBench",
+      "--conf", "spark.ui.enabled=false",
+      // SAME executor size at both points — the cluster-faithful N->4N
+      // step scales executor COUNT, not executor size (5g OOM'd the
+      // 1-executor point under the 4M-doc cached witness)
+      "--conf", "spark.executor.memory=12g",
+      "--conf", "spark.driver.memory=6g",
+      // no locality stalls: the witnesses read evenly-cached deterministic
+      // fixtures; a 3s-per-level locality wait would serialize any
+      // imbalance onto one executor instead of reading remotely
+      "--conf", "spark.locality.wait=0s",
+      jar.toString)
+    pb.directory(new java.io.File(System.getProperty("java.io.tmpdir")))
+    pb.environment().put("SPARK_GRAFT_SCALE_OUT", out.toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_PARTS", (executors * coresPerExec).toString)
+    pb.environment().put("SPARK_GRAFT_SCALE_EXECUTORS", executors.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_VERTS", verts.toString)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    val p = pb.start()
+    val finished = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) { p.destroyForcibly(); return None }
+    if (p.exitValue() != 0) return None
+    val json = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    def num(key: String): Option[Double] =
+      s""""$key":(-?[0-9.]+)""".r.findFirstMatchIn(json).map(_.group(1).toDouble)
+    for (alu <- num("alu_hashes_per_sec"); sh <- num("simhash_docs_per_sec");
+         eps <- num("leiden_eps"); secs <- num("superstep_secs")) yield (alu, sh, eps, secs)
+  }
+
+  /** Core-bound scaling witness: iterated xxhash64 chains over a tiny long
+    * input (~1.6 MB — lives in cache), via the codegen'd HashChainExpr.
+    * ~Zero DRAM traffic per unit compute, so unlike simhash (mixed) and the
+    * leiden superstep (bandwidth/shuffle-bound) its one-box 8->32 scaling
+    * is NOT capped by the ROOFLINE.json memory ceiling — it isolates
+    * scheduler+core scaling. Returns hash-steps/sec, best of `reps`.
+    */
+  def hashChainThroughput(spark: SparkSession, rows: Long = 200000,
+                          iters: Int = 40000, reps: Int = 3): Double = {
+    val parts = spark.sparkContext.defaultParallelism * 4
+    val in = spark.range(0, rows, 1, parts).cache()
+    in.count()
+    var best = Double.MaxValue
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      // bit_count keeps the ANSI sum far from long overflow (raw random
+      // longs overflow it)
+      in.agg(sum(bit_count(org.apache.spark.sql.graft.NativeColumns.hashChain(col("id"), iters)))).head
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    in.unpersist()
+    rows.toDouble * iters / best
+  }
+
+  /** Bare-JVM hardware calibration: aggregate iterated-xxhash throughput on
+    * plain Java threads — no Spark, no allocation, no shared data. On ideal
+    * hardware a 4x thread step gives 4x throughput; what this measures is
+    * the MACHINE's own parallel-scaling ceiling, the denominator every
+    * Spark witness must be judged against. (This sandbox VM's 32 vCPUs
+    * deliver only ~2.5x the aggregate ALU throughput of 8 — measured
+    * identically by bare python processes — so no workload of any kind can
+    * show >~0.64 one-box efficiency here.)
+    */
+  def hardwareAluThroughput(threads: Int, itersPerThread: Int = 400000000,
+                            reps: Int = 3): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong // defeat DCE
+    var best = Double.MaxValue
+    for (_ <- 1 to reps) {
+      val ts = (0 until threads).map { tid =>
+        new Thread(() => {
+          sink.addAndGet(graft.catalyst.Kernels.hashChain(tid.toLong, itersPerThread))
+          ()
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    require(sink.get != 0L || reps == 0)
+    threads.toDouble * itersPerThread / best
+  }
+
   private def freshSession(cores: Int, name: String): SparkSession =
     Sessions.local(cores, name)
 
@@ -113,15 +233,16 @@ object Bench {
     SparkSession.clearDefaultSession()
   }
 
-  /** Both witnesses at one core count, in one fresh session:
-    * (simhash docs/s, leiden eps, fixture edges, superstep secs).
+  /** All three witnesses at one core count, in one fresh session:
+    * (alu hashes/s, simhash docs/s, leiden eps, fixture edges, superstep secs).
     */
-  private def measurePoint(cores: Int, fixtureVerts: Long): (Double, Double, Long, Double) = {
+  private def measurePoint(cores: Int, fixtureVerts: Long): (Double, Double, Double, Long, Double) = {
     val s = freshSession(cores, s"graft-bench-scale-$cores")
     try {
+      val alu = hashChainThroughput(s)
       val sh = simHashThroughput(s, 4000000L)
       val (eps, ec, secs) = leidenSuperstepThroughput(s, fixtureVerts, iters = 2)
-      (sh, eps, ec, secs)
+      (alu, sh, eps, ec, secs)
     } finally stopSession(s)
   }
 
@@ -166,8 +287,8 @@ object Bench {
     val loCores = math.min(8, cpus)
     val factor = cpus.toDouble / loCores
     def eff(lo: Double, hi: Double) = if (lo > 0) hi / lo / factor else 0.0
-    var (shLo, epsLo, _, _) = measurePoint(loCores, fixtureVerts)
-    var (shHi, epsHi, fixtureEdgeCount, supersteps) = measurePoint(cpus, fixtureVerts)
+    var (aluLo, shLo, epsLo, _, _) = measurePoint(loCores, fixtureVerts)
+    var (aluHi, shHi, epsHi, fixtureEdgeCount, supersteps) = measurePoint(cpus, fixtureVerts)
     // sanity guards, both directions (this shared host swings 2-7x between
     // co-tenant contention windows):
     //   - efficiency > 1.05 over a 4x core step is physically meaningless —
@@ -179,20 +300,58 @@ object Bench {
     //     never discarded upward — only the fastest observation of the SAME
     //     deterministic job survives.
     var tries = 0
-    while (tries < 2 && (eff(shLo, shHi) > 1.05 || eff(epsLo, epsHi) > 1.05)) {
-      val (sh2, eps2, _, _) = measurePoint(loCores, fixtureVerts)
+    while (tries < 2 && (eff(shLo, shHi) > 1.05 || eff(epsLo, epsHi) > 1.05 ||
+        eff(aluLo, aluHi) > 1.05)) {
+      val (alu2, sh2, eps2, _, _) = measurePoint(loCores, fixtureVerts)
+      aluLo = math.max(aluLo, alu2)
       shLo = math.max(shLo, sh2)
       epsLo = math.max(epsLo, eps2)
       tries += 1
     }
     var hiTries = 0
     while (hiTries < 2 && eff(epsLo, epsHi) < 0.25) {
-      val (sh2, eps2, _, secs2) = measurePoint(cpus, fixtureVerts)
+      val (alu2, sh2, eps2, _, secs2) = measurePoint(cpus, fixtureVerts)
+      aluHi = math.max(aluHi, alu2)
       shHi = math.max(shHi, sh2)
       if (eps2 > epsHi) { epsHi = eps2; supersteps = secs2 }
       hiTries += 1
     }
     val (eps, _) = (epsHi, fixtureEdgeCount)
+
+    // Hardware ceiling calibration: bare-JVM threads, measured lo-then-hi
+    // back to back (no Spark in the loop). Engine witnesses are judged
+    // against THIS machine's own parallel scaling, not against the ideal 4x
+    // no workload here can reach.
+    val hwLo = hardwareAluThroughput(loCores)
+    val hwHi = hardwareAluThroughput(cpus)
+    val hwEff = eff(hwLo, hwHi)
+
+    // Executor-mode scaling pair (the north rule's own formulation): the
+    // SAME witnesses via spark-submit against local-cluster[1,8,m] vs
+    // local-cluster[4,8,m] — N vs 4N real executor JVMs with separate
+    // heaps/GC and netty shuffle, so the in-JVM pair's shared-allocator
+    // confound is gone; only DRAM stays shared (ROOFLINE.json ceiling).
+    // Skipped gracefully (null in the line) if spark-submit is absent.
+    val execScaling: Option[String] =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_SKIP") || cpus < 32) None
+      else try {
+        makeClassesJar().flatMap { jar =>
+          val lo = executorScalePoint(1, 8, jar, fixtureVerts)
+          val hi = executorScalePoint(4, 8, jar, fixtureVerts)
+          java.nio.file.Files.deleteIfExists(jar)
+          for ((aluL, shL, epL, _) <- lo; (aluH, shH, epH, secH) <- hi) yield
+            s"""{"executors_lo":1,"executors_hi":4,"cores_per_executor":8,""" +
+            s""""alu_hashes_per_sec_lo":${"%.0f".format(aluL)},"alu_hashes_per_sec_hi":${"%.0f".format(aluH)},""" +
+            s""""alu_efficiency":${"%.3f".format(aluH / aluL / 4.0)},""" +
+            s""""simhash_docs_per_sec_lo":${"%.0f".format(shL)},"simhash_docs_per_sec_hi":${"%.0f".format(shH)},""" +
+            s""""simhash_efficiency":${"%.3f".format(shH / shL / 4.0)},""" +
+            s""""leiden_eps_lo":${"%.0f".format(epL)},"leiden_eps_hi":${"%.0f".format(epH)},""" +
+            s""""leiden_efficiency":${"%.3f".format(epH / epL / 4.0)},""" +
+            s""""superstep_secs_hi":${"%.3f".format(secH)}}"""
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] executor scaling skipped: $e"); None
+      }
 
     val qs = results.map { case (k, (s, _)) => s""""$k":${"%.3f".format(s)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
@@ -204,10 +363,15 @@ object Bench {
       s""""fixture_edges":$fixtureEdgeCount,"superstep_secs":${"%.3f".format(supersteps)},"cpus":$cpus,""" +
       s""""leiden_phases":$phasesJson,""" +
       s""""scaling":{"cores_lo":$loCores,"cores_hi":$cpus,""" +
+      s""""alu_hashes_per_sec_lo":${"%.0f".format(aluLo)},"alu_hashes_per_sec_hi":${"%.0f".format(aluHi)},""" +
+      s""""alu_efficiency":${"%.3f".format(eff(aluLo, aluHi))},""" +
       s""""simhash_docs_per_sec_lo":${"%.0f".format(shLo)},"simhash_docs_per_sec_hi":${"%.0f".format(shHi)},""" +
       s""""simhash_efficiency":${"%.3f".format(eff(shLo, shHi))},""" +
       s""""leiden_eps_lo":${"%.0f".format(epsLo)},"leiden_eps_hi":${"%.0f".format(epsHi)},""" +
-      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))},"lo_remeasures":$tries,"hi_remeasures":$hiTries}}"""
+      s""""leiden_efficiency":${"%.3f".format(eff(epsLo, epsHi))},"lo_remeasures":$tries,"hi_remeasures":$hiTries},""" +
+      s""""hardware_ceiling":{"bare_jvm_hashes_per_sec_lo":${"%.0f".format(hwLo)},""" +
+      s""""bare_jvm_hashes_per_sec_hi":${"%.0f".format(hwHi)},"efficiency":${"%.3f".format(hwEff)}},""" +
+      s""""executor_scaling":${execScaling.getOrElse("null")}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LINE.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

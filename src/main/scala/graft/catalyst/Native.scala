@@ -88,6 +88,21 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Iterated xxhash64 chain: h_0 = input, h_{t+1} = xxh64(h_t, seed 42).
+    * Purely sequential ALU work over one register — ~zero memory traffic
+    * per unit compute, so it is the CORE-bound end of the scaling-witness
+    * spectrum (simhash = mixed, leiden superstep = bandwidth/shuffle-bound):
+    * on hardware whose thread count scales but whose DRAM bandwidth does
+    * not, this witness isolates scheduler+core scaling from the memory
+    * ceiling (ROOFLINE.json).
+    */
+  def hashChain(seed: Long, iters: Int): Long = {
+    var h = seed
+    var t = 0
+    while (t < iters) { h = XXH64.hashLong(h, 42L); t += 1 }
+    h
+  }
+
   /** Cosine similarity in double precision, accumulating left-to-right in
     * the same order as the zip_with/aggregate formulation (bit-identical
     * results on equal-length inputs). Null propagation matches the HOF
@@ -143,6 +158,21 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.minHashSig($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class HashChainExpr(child: Expression, iters: Int) extends UnaryExpression {
+  require(iters >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_hash_chain expects bigint, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash_chain"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.hashChain(input.asInstanceOf[Long], iters)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.hashChain($c, $iters)")
+  override protected def withNewChildInternal(newChild: Expression): HashChainExpr =
     copy(child = newChild)
 }
 

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import graft.catalyst.{ArrayCosineExpr, MinHashSigExpr, SimHash64Expr}
+import graft.catalyst.{ArrayCosineExpr, HashChainExpr, MinHashSigExpr, SimHash64Expr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -28,4 +28,6 @@ object NativeColumns {
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles), numHashes))
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def hashChain(seed: Column, iters: Int): Column =
+    ExpressionUtils.column(HashChainExpr(ExpressionUtils.expression(seed), iters))
 }

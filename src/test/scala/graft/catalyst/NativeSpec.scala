@@ -56,6 +56,18 @@ class NativeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("native hash chain equals iterated xxhash64 Columns bit-for-bit") {
+    // xxhash64(long) = XXH64.hashLong(v, seed 42); the chain is k nested
+    // xxhash64 calls — the scaling witness must measure EXACTLY this work
+    val in = df.select(col("id"))
+    val k = 7
+    val chained = (1 to k).foldLeft(col("id"))((c, _) => xxhash64(c))
+    val want = in.select(chained.as("h")).collect().map(_.getLong(0)).toSeq
+    val got = in.select(NativeColumns.hashChain(col("id"), k).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+  }
+
   test("property: native kernels equal HOF forms on 200 seeded random texts") {
     val spark2 = spark
     import spark2.implicits._
