@@ -250,6 +250,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))),
     "ev_sessions" -> ((s, dir) => // batch gap-sessionization (window fns)
       graft.streaming.EventStreams.sessionizeBatch(ev(s, dir))),
+    "g_edge_stream" -> ((s, dir) => { // streaming graph maintenance (oracle)
+      // The copurchase edges streamed as three deterministic micro-batches
+      // (inserts split by (src+dst)%2, then deletions of (src*31+dst)%10==0)
+      // through GraphStream.maintain — a real Structured Streaming query
+      // folding each batch into a new snapshot. The driver-side collect
+      // below is the STREAM FEED FIXTURE (MemoryStream takes local data by
+      // construction); the maintenance itself is distributed. Output:
+      // symmetric degrees of the final maintained edge table.
+      import graft.streaming.GraphStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = copurchase(s, dir)
+        .select(col("src"), col("dst"), col("w").cast("double").as("w"),
+          ((col("src") + col("dst")) % 2 === 0).as("even"),
+          ((col("src") * 31 + col("dst")) % 10 === 0).as("del"))
+        .collect()
+      def ins(even: Boolean) = rows.filter(_.getBoolean(3) == even)
+        .map(r => GraphStream.EdgeOp("I", r.getLong(0), r.getLong(1), r.getDouble(2), 0L)).toSeq
+      val dels = rows.filter(_.getBoolean(4))
+        .map(r => GraphStream.EdgeOp("D", r.getLong(0), r.getLong(1), 0.0, 0L)).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GraphStream.EdgeOp]
+      val root = java.nio.file.Files.createTempDirectory("g_edge_stream").toString
+      val q = GraphStream.maintain(ms.toDS(), root, "copurchase")
+      try {
+        Seq(ins(true), ins(false), dels).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val fin = GraphStream.current(s, root, "copurchase").get._2
+      val sym = fin.unionByName(
+        fin.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"), sum("w").cast("long").as("wdeg"))
+    }),
     // --- pages / link extraction / multimodal (synthetic fixtures) ------
     "p_text_digest" -> ((s, dir) => // rows-only: byte-identical invariant
       LinkExtract.textDigests(Pages.synthetic(s, 500))),
@@ -524,5 +558,18 @@ object SparkEntry {
         |min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1, 2""".stripMargin,
     "ev_user_events" ->
       """SELECT user_id, count(*) AS n, count(DISTINCT event_type) AS n_types
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    // the streamed insert/insert/delete batches compose to: all copurchase
+    // edges except (src*31+dst)%10==0 (inserts are disjoint halves, the
+    // deletes land after both) — the fold is SQL-expressible even though
+    // the engine path is a live Structured Streaming query
+    "g_edge_stream" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+        |kept AS (SELECT * FROM e WHERE (src*31 + dst) % 10 <> 0),
+        |sym AS (SELECT src, dst, w FROM kept
+        |        UNION ALL SELECT dst, src, w FROM kept)
+        |SELECT src AS id, count(*) AS deg, CAST(sum(w) AS BIGINT) AS wdeg
+        |FROM sym GROUP BY src""".stripMargin)
 }
