@@ -284,6 +284,33 @@ object SparkEntry {
       sym.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"), sum("w").cast("long").as("wdeg"))
     }),
+    "g_stream_communities" -> ((s, dir) => { // rows-only: iterative fixpoint
+      // Streaming DYNAMIC community detection: the copurchase graph arrives
+      // as two micro-batches; batch 1 re-clusters incrementally, seeded by
+      // batch 0's membership with only the new endpoints marked affected.
+      // Output: community size histogram of the final maintained state.
+      // Correctness pins live in GraphStreamSpec (incremental == from-scratch
+      // parity) and the LeidenSpec golden suites.
+      import graft.streaming.GraphStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = copurchase(s, dir)
+        .select(col("src"), col("dst"), col("w").cast("double").as("w"),
+          ((col("src") + col("dst")) % 2 === 0).as("even"))
+        .collect()
+      def ins(even: Boolean) = rows.filter(_.getBoolean(3) == even)
+        .map(r => GraphStream.EdgeOp("I", r.getLong(0), r.getLong(1), r.getDouble(2), 0L)).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[GraphStream.EdgeOp]
+      val root = java.nio.file.Files.createTempDirectory("g_stream_comm").toString
+      val q = GraphStream.maintainCommunities(ms.toDS(), root, "copurchase",
+        LeidenOptions(maxIterations = 8, maxPasses = 3, minMovedFraction = 1e-3))
+      try {
+        Seq(ins(true), ins(false)).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      graft.io.Snapshots.read(s, root, "copurchase", 1, GraphStream.MembershipState)
+        .groupBy("comm").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_comms"))
+    }),
     // --- pages / link extraction / multimodal (synthetic fixtures) ------
     "p_text_digest" -> ((s, dir) => // rows-only: byte-identical invariant
       LinkExtract.textDigests(Pages.synthetic(s, 500))),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.graph.Batch
 import graft.io.Snapshots
+import graft.leiden.{Leiden, LeidenOptions}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
@@ -101,6 +102,57 @@ object GraphStream {
           val next = applyOps(prev, batch.toDF(), symmetric)
           Snapshots.commit(root, table, batchId, last, Map(EdgeState -> next),
             Map("batchId" -> batchId.toString) ++ onBatch(spark, next, batchId))
+        }
+        ()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** Dataset name of the maintained community membership. */
+  val MembershipState = "membership"
+
+  /** Streaming DYNAMIC community detection: maintainCommunities folds each
+    * op batch into the edge table (always symmetric — Leiden's input
+    * contract) and re-clusters INCREMENTALLY, seeding Leiden's fi/fm hooks
+    * from the previous snapshot: the last membership warm-starts every
+    * vertex and only the batch's touched endpoints start marked affected
+    * (moves re-mark their neighbors, so corrections propagate exactly as
+    * far as the update's impact — the reference family's delta-screening
+    * dynamic batch loop, run as a stream). Each snapshot carries BOTH
+    * datasets (edges + membership) and the clustering metrics
+    * (modularity, communities, iterations) in its manifest, so the
+    * community history of the graph is itself time-travelable.
+    *
+    * Scale: per batch, one tidy batch-apply plus one warm Leiden run whose
+    * pass-0 scan touches only the affected frontier — for a batch touching
+    * k vertices of an n-vertex graph the re-cluster is O(frontier), not
+    * O(n), except when moves genuinely cascade.
+    */
+  def maintainCommunities(ops: Dataset[_], root: String, table: String,
+                          leidenOpts: LeidenOptions = LeidenOptions(),
+                          checkpoint: Option[String] = None): StreamingQuery = {
+    require(leidenOpts.snapshotDir.isEmpty,
+      "pass-level Leiden snapshots clash with the per-batch catalog; leave snapshotDir empty")
+    val writer: DataStreamWriter[Row] = ops.toDF().writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val last = Snapshots.committed(root, table).lastOption
+        if (!last.exists(_ >= batchId)) {
+          val prev = last.map(id => Snapshots.read(spark, root, table, id, EdgeState))
+            .getOrElse(emptyEdges(spark))
+          val prevMemb = last.map(id => Snapshots.read(spark, root, table, id, MembershipState))
+          val next = applyOps(prev, batch.toDF(), symmetric = true)
+          val touched = batch.select(col("src").cast("long").as("id"))
+            .unionByName(batch.select(col("dst").cast("long").as("id"))).distinct()
+          val r = Leiden.detect(next, leidenOpts,
+            prevMembership = prevMemb,
+            affected = if (prevMemb.isDefined) Some(touched) else None)
+          Snapshots.commit(root, table, batchId, last,
+            Map(EdgeState -> next, MembershipState -> r.membership),
+            Map("batchId" -> batchId.toString,
+              "modularity" -> r.modularity.toString,
+              "communities" -> r.communities.toString,
+              "iterations" -> r.iterations.toString))
         }
         ()
       }

@@ -64,6 +64,42 @@ class GraphStreamSpec extends SparkSpec {
     assert(edgeSet(GraphStream.current(spark, root, "g").get._2) === edgeSet(finalEdges))
   }
 
+  test("streaming community maintenance tracks graph evolution incrementally") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graphstream-leiden").toString
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield EdgeOp("I", a, b, 1.0, 0)
+    // batch 0: two 4-cliques weakly bridged; batch 1: cut the bridge, add a third clique
+    val b0 = clique(Seq(0, 1, 2, 3)) ++ clique(Seq(10, 11, 12, 13)) :+ EdgeOp("I", 3, 10, 0.1, 0)
+    val b1 = Seq(EdgeOp("D", 3, 10, 0.0, 0)) ++ clique(Seq(20, 21, 22, 23))
+    val opts = graft.leiden.LeidenOptions(maxIterations = 8, maxPasses = 3)
+    val ms = MemoryStream[EdgeOp]
+    val q = GraphStream.maintainCommunities(ms.toDS(), root, "comm", opts)
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+
+    def parts(df: DataFrame): Set[Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    val m0 = parts(Snapshots.read(spark, root, "comm", 0, GraphStream.MembershipState))
+    assert(m0 === Set(Set(0L, 1L, 2L, 3L), Set(10L, 11L, 12L, 13L)))
+    val m1 = parts(Snapshots.read(spark, root, "comm", 1, GraphStream.MembershipState))
+    assert(m1 === Set(Set(0L, 1L, 2L, 3L), Set(10L, 11L, 12L, 13L), Set(20L, 21L, 22L, 23L)))
+    assert(Snapshots.manifestText(root, "comm", 1).contains(""""communities":"3""""))
+
+    // incremental result == from-scratch detection on the final edge table
+    val finalEdges = GraphStream.current(spark, root, "comm").get._2
+    val scratch = graft.leiden.Leiden.detect(finalEdges, opts)
+    assert(parts(scratch.membership) === m1)
+    val incQ = Snapshots.manifestText(root, "comm", 1)
+      .split("\"modularity\":\"")(1).takeWhile(_ != '"').toDouble
+    assert(approx(incQ, scratch.modularity, 1e-9))
+  }
+
   test("symmetric maintenance mirrors every touched pair") {
     val spark2 = spark
     import spark2.implicits._
