@@ -3,7 +3,7 @@ package graft
 import graft.algo.{Bfs, Components, LabelProp, PageRank, Triangles}
 import graft.ann.Ann
 import graft.graph.EdgeTable
-import graft.leiden.{Leiden, LeidenOptions, Modularity}
+import graft.leiden.{Leiden, LeidenOptions, LocalMove, Modularity}
 import graft.multimodal.Multimodal
 import graft.pages.{LinkExtract, Pages}
 import graft.text.{NearDup, TextOps}
@@ -153,6 +153,26 @@ object SparkEntry {
       val r = Leiden.detect(copurchaseSym(s, dir),
         LeidenOptions(maxIterations = 8, maxPasses = 4, sketchSlots = 64, minMovedFraction = 1e-3))
       r.membership.groupBy("comm").agg(count(lit(1)).as("size"))
+    }),
+    "g_leiden_sweep" -> ((s, dir) => { // oracle: ONE synchronous local-move
+      // half-sweep (parity 0) from comm = id % 64 blocks — cross-engine
+      // checks the flagship delta-Q argmax rule itself (J1 gather, A4 scan,
+      // A9 totals, wud term, swap guard, positive-gain gate). All inputs
+      // are integer-valued doubles, so m/vtot/ctot/wuc are EXACT in both
+      // engines and the identical expression tree makes scores bit-equal;
+      // measured sf0.01 decision margins dwarf any residual noise anyway:
+      // min |mdq| 1.6e-7, min argmax top-2 gap 3.8e-9, exact ties 0
+      // (ties would break deterministically by smallest community id).
+      val e = copurchaseSym(s, dir)
+      val m = EdgeTable.totalWeight(e) / 2
+      val st0 = EdgeTable.vertexWeights(e)
+        .select(col("id"), pmod(col("id"), lit(64)).as("comm"), col("vtot"),
+          lit(true).as("aff"))
+      val moved = LocalMove.sweep(e, st0, m, 1.0, parity = 0).state
+        .join(st0.select(col("id"), col("comm").as("c0")), "id")
+        .filter(col("comm") =!= col("c0"))
+        .select(col("id").cast("long").as("id"), col("comm").cast("long").as("newcomm"))
+      moved
     }),
     // --- text analysis -------------------------------------------------
     "d_token_stats" -> ((s, dir) =>
@@ -404,6 +424,34 @@ object SparkEntry {
         |         WHERE NOT EXISTS (SELECT 1 FROM afterdel a WHERE a.src = i.src AND a.dst = i.dst)),
         |final AS (SELECT src, dst FROM afterdel UNION ALL SELECT src, dst FROM tins)
         |SELECT src AS id, count(*) AS degree FROM final GROUP BY src""".stripMargin,
+    "g_leiden_sweep" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |mm AS (SELECT sum(w) / 2 AS m FROM e),
+        |vt AS (SELECT src AS id, sum(w) AS vtot FROM e GROUP BY 1),
+        |st AS (SELECT id, id % 64 AS comm, vtot FROM vt),
+        |ct AS (SELECT comm, sum(vtot) AS ctot, count(*) AS csize FROM st GROUP BY 1),
+        |mover AS (SELECT s.id, s.comm AS ccur, s.vtot AS vtot_u, c.ctot AS ctot_d, c.csize AS csize_d
+        |          FROM st s JOIN ct c ON s.comm = c.comm WHERE s.id % 2 = 0),
+        |cand AS (SELECT ed.src, sd.comm AS cdst, sum(ed.w) AS wuc
+        |         FROM e ed JOIN mover mv ON ed.src = mv.id JOIN st sd ON ed.dst = sd.id
+        |         WHERE ed.src <> ed.dst GROUP BY 1, 2),
+        |scored AS (SELECT c.src, c.cdst, c.wuc, mv.ccur, mv.vtot_u, mv.ctot_d, mv.csize_d,
+        |                  tc.ctot AS ctot_c, tc.csize AS csize_c,
+        |                  c.wuc / mm.m - (mv.vtot_u * tc.ctot) / (2 * mm.m * mm.m) AS score
+        |           FROM cand c JOIN ct tc ON c.cdst = tc.comm JOIN mover mv ON c.src = mv.id, mm),
+        |elig AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, cdst ASC) AS rn
+        |         FROM scored WHERE cdst <> ccur AND NOT (csize_c = 1 AND csize_d = 1 AND cdst > ccur)),
+        |wudt AS (SELECT src, sum(CASE WHEN cdst = ccur THEN wuc ELSE 0 END) AS wud FROM scored GROUP BY src),
+        |pick AS (SELECT el.src, el.cdst AS newcomm, el.score, el.vtot_u, el.ctot_d, coalesce(w.wud, 0) AS wud
+        |         FROM elig el LEFT JOIN wudt w ON el.src = w.src WHERE el.rn = 1),
+        |fin AS (SELECT p.src, p.newcomm,
+        |               p.score - p.wud / mm.m - (p.vtot_u * (p.vtot_u - p.ctot_d)) / (2 * mm.m * mm.m) AS mdq
+        |        FROM pick p, mm)
+        |SELECT CAST(src AS BIGINT) AS id, CAST(newcomm AS BIGINT) AS newcomm
+        |FROM fin WHERE mdq > 0""".stripMargin,
     "g_degree" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   - WAV (RIFF PCM, chunk-walking, word-aligned) for audio,
   *   - Y4M (YUV4MPEG2, C444/C420) for video — frame count from the actual
   *     stream, not an assumed clip length.
-  * Entropy-coded formats (JPEG/MP3/H.264) stay out of scope in this
-  * container; swapping in a JNI/javacv decoder changes no signatures.
+  * plus JPEG (lossy DCT + Huffman) and GIF (LZW over a palette) through
+  * the JDK's bundled `javax.imageio` plugins (`Codecs.Jdk`) — still zero
+  * external dependencies. Audio/video entropy codecs (MP3/H.264) stay out
+  * of scope in this container; swapping in a JNI/javacv decoder changes
+  * no signatures.
   */
 object Codecs {
 
@@ -389,10 +392,126 @@ object Codecs {
     }
   }
 
+  /** Entropy-coded raster formats via the JDK's bundled `javax.imageio`
+    * plugins (Java SE standard, present in every JRE — not an external
+    * dependency): JPEG (lossy DCT + Huffman) and GIF (LZW over a color
+    * palette). Decode normalizes any color model to the row-major RGB /
+    * gray layout the rest of the pipeline uses. JPEG is lossy, so its
+    * tests pin dimensions exactly and the pixel sum within a tolerance;
+    * GIF encode goes through an explicit `IndexColorModel` and is
+    * bit-lossless for images with <= 256 distinct colors.
+    */
+  object Jdk {
+    javax.imageio.ImageIO.setUseCache(false) // keep codecs purely in-memory
+
+    private def toImage(bi: java.awt.image.BufferedImage): Image = {
+      val w = bi.getWidth; val h = bi.getHeight
+      val ch = if (bi.getColorModel.getNumColorComponents == 1) 1 else 3
+      val out = new Array[Byte](w * h * ch)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        bi.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          if (ch == 1) out(y * w + x) = (p & 0xFF).toByte
+          else {
+            val d = (y * w + x) * 3
+            out(d) = ((p >>> 16) & 0xFF).toByte
+            out(d + 1) = ((p >>> 8) & 0xFF).toByte
+            out(d + 2) = (p & 0xFF).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, ch, out)
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(toImage)
+      catch { case _: java.io.IOException => None }
+
+    private def toBufferedRgb(img: Image): java.awt.image.BufferedImage = {
+      require(img.channels == 3, "JDK encoders take RGB")
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val i = (y * img.width + x) * 3
+          bi.setRGB(x, y, ((img.pixels(i) & 0xFF) << 16) |
+            ((img.pixels(i + 1) & 0xFF) << 8) | (img.pixels(i + 2) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      bi
+    }
+
+    def encodeJpeg(img: Image, quality: Float = 0.9f): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      try writer.write(null, new javax.imageio.IIOImage(toBufferedRgb(img), null, null), p)
+      finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Palette-indexed GIF encode: collects the image's distinct colors
+      * into an `IndexColorModel` (first-seen order, so the palette is
+      * deterministic) — lossless by construction under 256 colors.
+      */
+    def encodeGif(img: Image): Array[Byte] = {
+      require(img.channels == 3, "GIF encoder takes RGB")
+      val colors = new java.util.LinkedHashMap[Integer, Integer]()
+      val idx = new Array[Byte](img.width * img.height)
+      var p = 0
+      while (p < idx.length) {
+        val i = p * 3
+        val rgb = ((img.pixels(i) & 0xFF) << 16) |
+          ((img.pixels(i + 1) & 0xFF) << 8) | (img.pixels(i + 2) & 0xFF)
+        var slot = colors.getOrDefault(rgb, -1)
+        if (slot < 0) {
+          slot = colors.size()
+          require(slot < 256, "GIF needs <= 256 distinct colors")
+          colors.put(rgb, slot)
+        }
+        idx(p) = slot.toByte
+        p += 1
+      }
+      val n = colors.size()
+      val r = new Array[Byte](n); val g = new Array[Byte](n); val b = new Array[Byte](n)
+      val it = colors.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val rgb = e.getKey.intValue(); val slot = e.getValue.intValue()
+        r(slot) = ((rgb >>> 16) & 0xFF).toByte
+        g(slot) = ((rgb >>> 8) & 0xFF).toByte
+        b(slot) = (rgb & 0xFF).toByte
+      }
+      val icm = new java.awt.image.IndexColorModel(8, n, r, g, b)
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      bi.getRaster.setDataElements(0, 0, img.width, img.height, idx)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "gif", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Dispatch an image payload on its magic bytes. */
   def sniffImage(bytes: Array[Byte]): Option[Image] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Bmp.decode(bytes)
     else if (bytes.length >= 2 && bytes(0) == 0x89.toByte && bytes(1) == 'P') Png.decode(bytes)
+    else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) Jdk.decode(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') Jdk.decode(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P') Ppm.decode(bytes)
     else None
 
@@ -426,7 +545,8 @@ object Codecs {
   * with typed metadata, processed batch-wise with typed mapPartitions (the
   * Scala analog of mapInPandas — one decoder instance per partition, rows
   * streamed through it). Decoding is REAL (graft.multimodal.Codecs):
-  * BMP/PPM pixels, WAV PCM chunks, Y4M frame streams — all pure JVM.
+  * BMP/PPM/PNG/JPEG/GIF rasters, WAV PCM chunks, Y4M frame streams — all
+  * JVM-only (hand-rolled or the JDK's bundled imageio plugins).
   */
 object Multimodal {
 
@@ -457,12 +577,26 @@ object Multimodal {
       (id % 3) match {
         case 0 =>
           val (w, h) = (16 + rnd.nextInt(64), 16 + rnd.nextInt(64))
-          val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
-          val img = Codecs.Image(w, h, 3, pix)
-          val enc = (id / 3) % 3 match {
-            case 0 => Codecs.Bmp.encode(img)
-            case 1 => Codecs.Ppm.encode(img)
-            case _ => Codecs.Png.encode(img)
+          val encCase = (id / 3) % 5
+          val enc = if (encCase == 3) {
+            // GIF: 16-gray palette so the indexed encode is bit-lossless
+            val pix = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              val v = (((id * 31 + p * 7) % 16) * 17).toByte
+              pix(p * 3) = v; pix(p * 3 + 1) = v; pix(p * 3 + 2) = v
+              p += 1
+            }
+            Codecs.Jdk.encodeGif(Codecs.Image(w, h, 3, pix))
+          } else {
+            val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+            val img = Codecs.Image(w, h, 3, pix)
+            encCase match {
+              case 0 => Codecs.Bmp.encode(img)
+              case 1 => Codecs.Ppm.encode(img)
+              case 2 => Codecs.Png.encode(img)
+              case _ => Codecs.Jdk.encodeJpeg(img) // lossy: tests bound px_sum
+            }
           }
           MediaRow(id, "image", enc)
         case 1 =>
@@ -493,7 +627,10 @@ object Multimodal {
           var i = 0
           while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
           val fmt = if (r.bytes(0) == 'B') "bmp"
-            else if (r.bytes(0) == 0x89.toByte) "png" else "ppm"
+            else if (r.bytes(0) == 0x89.toByte) "png"
+            else if (r.bytes(0) == 0xFF.toByte) "jpeg"
+            else if (r.bytes(0) == 'G') "gif"
+            else "ppm"
           ImageMeta(r.media_id, fmt, img.width, img.height, img.channels, r.bytes.length, s)
         }
       }

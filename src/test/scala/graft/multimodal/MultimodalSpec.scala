@@ -69,6 +69,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.sniffImage(enc).get.pixels.toSeq === pix3x2.toSeq)
   }
 
+  test("GIF: bit-lossless indexed roundtrip; JPEG: exact dims + bounded pixel error; sniff dispatch") {
+    // GIF through an explicit IndexColorModel is lossless under 256 colors
+    val palettePix = Array.tabulate(8 * 6 * 3) { i =>
+      val p = i / 3 // all three channels equal -> 8 distinct gray colors
+      ((p % 8) * 36).toByte
+    }
+    val gifImg = Codecs.Image(8, 6, 3, palettePix)
+    val gifBytes = Codecs.Jdk.encodeGif(gifImg)
+    assert(gifBytes(0) === 'G'.toByte && gifBytes(1) === 'I'.toByte && gifBytes(2) === 'F'.toByte)
+    val gifDec = Codecs.Jdk.decode(gifBytes).get
+    assert(gifDec.width === 8 && gifDec.height === 6 && gifDec.channels === 3)
+    assert(gifDec.pixels.toSeq === palettePix.toSeq)
+    assert(Codecs.sniffImage(gifBytes).get.pixels.toSeq === palettePix.toSeq)
+    // >256 distinct colors rejected rather than silently quantized
+    val manyPix = new Array[Byte](32 * 32 * 3)
+    for (p <- 0 until 1024) {
+      manyPix(p * 3) = (p & 0xFF).toByte; manyPix(p * 3 + 1) = ((p >> 8) & 0xFF).toByte
+    }
+    assertThrows[IllegalArgumentException](
+      Codecs.Jdk.encodeGif(Codecs.Image(32, 32, 3, manyPix)))
+
+    // JPEG is lossy: dims/channels exact, per-sample mean error bounded
+    val w = 48; val h = 32
+    val src = Array.tabulate(w * h * 3)(i => ((i * 7 + 11) % 256).toByte)
+    val jpgBytes = Codecs.Jdk.encodeJpeg(Codecs.Image(w, h, 3, src))
+    assert(jpgBytes(0) === 0xFF.toByte && jpgBytes(1) === 0xD8.toByte)
+    val jpgDec = Codecs.Jdk.decode(jpgBytes).get
+    assert(jpgDec.width === w && jpgDec.height === h && jpgDec.channels === 3)
+    val mae = src.indices.map(i => math.abs((src(i) & 0xFF) - (jpgDec.pixels(i) & 0xFF))).sum
+      .toDouble / src.length
+    assert(mae <= 32.0, s"JPEG mean abs error $mae")
+    assert(Codecs.sniffImage(jpgBytes).get.width === w)
+    // garbage rejected
+    assert(Codecs.Jdk.decode("definitely not an image".getBytes).isEmpty)
+  }
+
   test("WAV: PCM roundtrip, unknown chunks skipped, non-PCM rejected") {
     val samples = Array.tabulate(96)(i => (i * 100 - 4800).toShort)
     val enc = Codecs.Wav.encode(2, 16000, samples)
@@ -107,11 +143,23 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.syntheticMedia(spark, 90)
     val meta = Multimodal.decodeImageMeta(media).collect()
     assert(meta.length === 30) // id % 3 == 0 rows are images
-    assert(meta.map(_.format).toSet === Set("bmp", "ppm", "png"))
+    assert(meta.map(_.format).toSet === Set("bmp", "ppm", "png", "jpeg", "gif"))
     meta.foreach { m =>
-      // synthetic raster: pixel i = (id*31 + i*7) % 256 — recompute the sum
-      val want = (0 until m.width * m.height * 3).map(i => ((m.media_id * 31 + i * 7) % 256)).sum
-      assert(m.px_sum === want, s"media ${m.media_id}")
+      m.format match {
+        case "gif" => // 16-gray palette raster, lossless indexed encode
+          val want = (0 until m.width * m.height)
+            .map(p => 3L * (((m.media_id * 31 + p * 7) % 16) * 17)).sum
+          assert(m.px_sum === want, s"media ${m.media_id} (gif)")
+        case "jpeg" => // lossy DCT: the sum survives within a small bound
+          val want = (0 until m.width * m.height * 3)
+            .map(i => ((m.media_id * 31 + i * 7) % 256)).sum
+          assert(math.abs(m.px_sum - want) <= 0.10 * want,
+            s"media ${m.media_id} (jpeg): $want vs ${m.px_sum}")
+        case _ => // lossless: pixel i = (id*31 + i*7) % 256 — recompute exactly
+          val want = (0 until m.width * m.height * 3)
+            .map(i => ((m.media_id * 31 + i * 7) % 256)).sum
+          assert(m.px_sum === want, s"media ${m.media_id}")
+      }
     }
     val audio = Multimodal.decodeAudioMeta(media).collect()
     assert(audio.length === 30 && audio.forall(a => a.n_frames * a.channels === 256 * a.channels))
