@@ -144,6 +144,16 @@ object SparkEntry {
     }),
     "g_lpa" -> ((s, dir) => // rows-only: iterative fixpoint
       LabelProp.run(copurchaseSym(s, dir)).groupBy("label").agg(count(lit(1)).as("size"))),
+    "g_lpa_k2" -> ((s, dir) => // oracle: 2 FIXED rounds of the label-update
+      // rule under a plain (src + round) % 2 phase schedule the SQL can
+      // replicate (the production schedule stays murmur3 — same twin
+      // device as the md5 pipelines). Weights are co-order counts, so
+      // every lw sum is exact and every compare (strictly-beaten /
+      // tie-to-smaller stability rule) is integer-exact: no float
+      // decisions anywhere in this query.
+      LabelProp.run(copurchaseSym(s, dir), maxRounds = 2,
+          phase = (src, r) => pmod(src + lit(r), lit(2)))
+        .select(col("id").cast("long").as("id"), col("label").cast("long").as("label"))),
     "g_leiden" -> ((s, dir) => { // rows-only: flagship algorithm
       val r = Leiden.detect(copurchaseSym(s, dir), // churn stop opted in (library default 0 = reference semantics)
         LeidenOptions(maxIterations = 8, maxPasses = 4, minMovedFraction = 1e-3))
@@ -424,6 +434,34 @@ object SparkEntry {
         |         WHERE NOT EXISTS (SELECT 1 FROM afterdel a WHERE a.src = i.src AND a.dst = i.dst)),
         |final AS (SELECT src, dst FROM afterdel UNION ALL SELECT src, dst FROM tins)
         |SELECT src AS id, count(*) AS degree FROM final GROUP BY src""".stripMargin,
+    "g_lpa_k2" -> {
+      // 2 rounds x 2 parities = 4 unrolled half-sweeps of the same
+      // update rule LabelProp.run executes (argmax by (lw desc, label
+      // asc), stability: move only if strictly beaten or tied toward a
+      // smaller label, missing current-label weight = 0)
+      def half(k: Int, rnd: Int, par: Int): String =
+        s"""lw$k AS (SELECT ed.src, l.label, sum(ed.w) AS lw
+           |        FROM e ed JOIN l$k l ON ed.dst = l.id
+           |        WHERE (ed.src + $rnd) % 2 = $par GROUP BY 1, 2),
+           |best$k AS (SELECT src, label AS nl, lw AS nw FROM
+           |          (SELECT *, row_number() OVER (PARTITION BY src ORDER BY lw DESC, label ASC) AS rn
+           |           FROM lw$k) t WHERE rn = 1),
+           |cur$k AS (SELECT w.src, w.lw AS cw FROM lw$k w JOIN l$k l ON w.src = l.id AND w.label = l.label),
+           |l${k + 1} AS (SELECT l.id,
+           |           CASE WHEN b.nl IS NOT NULL AND (b.nw > coalesce(c.cw, 0)
+           |                  OR (b.nw = coalesce(c.cw, 0) AND b.nl < l.label))
+           |                THEN b.nl ELSE l.label END AS label
+           |         FROM l$k l LEFT JOIN best$k b ON l.id = b.src LEFT JOIN cur$k c ON l.id = c.src)""".stripMargin
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        |""".stripMargin +
+        Seq((0, 0), (0, 1), (1, 0), (1, 1)).zipWithIndex
+          .map { case ((rnd, par), k) => half(k, rnd, par) }.mkString(",\n") +
+        "\nSELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l4"
+    },
     "g_leiden_sweep" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w

@@ -28,9 +28,17 @@ object LabelProp {
     *        more than 1/(k+1) of a vertex's scanned weight always survives
     *        the sketch, so on modular graphs the recovered blocks match the
     *        exact run (pinned by AlgoSpec).
+    * @param phase the 2-coloring schedule: maps (src column, round) to a
+    *        0/1 phase class. Default: murmur3 of (src, round) — re-drawn
+    *        every round (see the in-loop comment). Any deterministic
+    *        function works; `g_lpa_k2` passes plain (src + round) parity so
+    *        a DuckDB oracle can replicate the schedule cross-engine (the
+    *        same device as the md5 twins of the xxhash pipelines).
     * @return (id, label); label = a vertex id, communities = equal labels
     */
-  def run(edges: DataFrame, maxRounds: Int = 20, sketchSlots: Int = 0): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 20, sketchSlots: Int = 0,
+          phase: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+            (src, round) => pmod(hash(src, lit(round)), lit(2))): DataFrame = {
     val e = edges.filter(col("src") =!= col("dst")).cache()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     var materialized = PlanUtils.checkpointTruncated(
@@ -48,7 +56,7 @@ object LabelProp {
         // sequentially.
         val scanned = e
           .join(labels.select(col("id").as("dst"), col("label")), "dst")
-          .filter(pmod(hash(col("src"), lit(round)), lit(2)) === parity)
+          .filter(phase(col("src"), round) === parity)
           .select(col("src"), col("label"), col("w"))
         val lw =
           if (sketchSlots <= 0)
