@@ -3,7 +3,7 @@ package graft
 import graft.algo.{Bfs, Components, LabelProp, PageRank, Triangles}
 import graft.ann.Ann
 import graft.graph.EdgeTable
-import graft.leiden.{Leiden, LeidenOptions, LocalMove, Modularity}
+import graft.leiden.{Aggregate, Leiden, LeidenOptions, LocalMove, Modularity}
 import graft.multimodal.Multimodal
 import graft.pages.{LinkExtract, Pages}
 import graft.text.{NearDup, TextOps}
@@ -183,6 +183,20 @@ object SparkEntry {
         .filter(col("comm") =!= col("c0"))
         .select(col("id").cast("long").as("id"), col("comm").cast("long").as("newcomm"))
       moved
+    }),
+    "g_leiden_agg" -> ((s, dir) => { // oracle: exact coarsening (A10/A11
+      // exact path, leiden.hxx:591-645) + dense renumber (A12) from a
+      // deliberately SPARSE membership comm = (id % 97)*1000 + 7, so the
+      // renumber window genuinely remaps ids (dense 0..96) before the
+      // two-membership-join + hash-agg coarsen. Super-edge weights are
+      // sums of integer-valued co-order counts — exact in both engines;
+      // no float decisions anywhere.
+      val e = copurchaseSym(s, dir)
+      val mem = e.select(col("src").as("id")).distinct()
+        .select(col("id"), (pmod(col("id"), lit(97)) * 1000 + 7).as("comm"))
+      Aggregate.coarsen(e, Aggregate.renumber(mem))
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
     }),
     // --- text analysis -------------------------------------------------
     "d_token_stats" -> ((s, dir) =>
@@ -462,6 +476,21 @@ object SparkEntry {
           .map { case ((rnd, par), k) => half(k, rnd, par) }.mkString(",\n") +
         "\nSELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l4"
     },
+    "g_leiden_agg" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |mem AS (SELECT id, (id % 97) * 1000 + 7 AS comm FROM v),
+        |dn AS (SELECT comm, dense_rank() OVER (ORDER BY comm) - 1 AS dense
+        |       FROM (SELECT DISTINCT comm FROM mem)),
+        |m2 AS (SELECT mem.id, dn.dense AS comm FROM mem JOIN dn ON mem.comm = dn.comm),
+        |agg AS (SELECT ms.comm AS src, md.comm AS dst, sum(ed.w) AS w
+        |        FROM e ed JOIN m2 ms ON ed.src = ms.id JOIN m2 md ON ed.dst = md.id
+        |        GROUP BY 1, 2)
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |       CAST(w AS DOUBLE) AS w FROM agg""".stripMargin,
     "g_leiden_sweep" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
