@@ -3,7 +3,7 @@ package graft
 import graft.algo.{Bfs, Components, LabelProp, PageRank, Triangles}
 import graft.ann.Ann
 import graft.graph.EdgeTable
-import graft.leiden.{Aggregate, Leiden, LeidenOptions, LocalMove, Modularity}
+import graft.leiden.{Aggregate, Leiden, LeidenOptions, LocalMove, Modularity, Refine}
 import graft.multimodal.Multimodal
 import graft.pages.{LinkExtract, Pages}
 import graft.text.{NearDup, TextOps}
@@ -197,6 +197,19 @@ object SparkEntry {
       Aggregate.coarsen(e, Aggregate.renumber(mem))
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+    }),
+    "g_leiden_refine" -> ((s, dir) => { // oracle: the refinement phase —
+      // refined sub-communities are the connected components of each
+      // community's induced subgraph, labeled by min member vertex id
+      // (Refine.scala's distributed formulation of leiden.hxx:734-743).
+      // From comm = id % 64 blocks; pure integer set computation, no
+      // float decisions — DuckDB replays it as recursive reachability
+      // (each community subgraph is tiny, so pair blowup is bounded).
+      val e = copurchaseSym(s, dir)
+      val mem = e.select(col("src").as("id")).distinct()
+        .select(col("id"), pmod(col("id"), lit(64)).as("comm"))
+      Refine.refine(e, mem).select(col("id").cast("long").as("id"),
+        col("comm").cast("long").as("comm"), col("bound").cast("long").as("bound"))
     }),
     // --- text analysis -------------------------------------------------
     "d_token_stats" -> ((s, dir) =>
@@ -491,6 +504,23 @@ object SparkEntry {
         |        GROUP BY 1, 2)
         |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
         |       CAST(w AS DOUBLE) AS w FROM agg""".stripMargin,
+    "g_leiden_refine" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |mem AS (SELECT id, id % 64 AS comm FROM v),
+        |intra AS (SELECT ed.src, ed.dst FROM e ed
+        |          JOIN mem a ON ed.src = a.id JOIN mem b ON ed.dst = b.id
+        |          WHERE a.comm = b.comm AND ed.src <> ed.dst),
+        |reach AS (SELECT id AS root, id AS node FROM v
+        |          UNION
+        |          SELECT r.root, i.dst FROM reach r JOIN intra i ON r.node = i.src),
+        |comp AS (SELECT root AS id, min(node) AS comp FROM reach GROUP BY root)
+        |SELECT CAST(c.id AS BIGINT) AS id, CAST(c.comp AS BIGINT) AS comm,
+        |       CAST(m.comm AS BIGINT) AS bound
+        |FROM comp c JOIN mem m ON c.id = m.id""".stripMargin,
     "g_leiden_sweep" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
