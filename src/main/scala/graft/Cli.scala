@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   spark-submit --class graft.Cli graft.jar <algo> [options]
-  *     algo               leiden | pagerank | cc | lpa | triangles
+  *     algo               leiden | pagerank | cc | lpa | triangles |
+  *                        stream-demo | mtx-dump (--mtxout PATH)
   *     --edges PATH       parquet edge table (src,dst,w); symmetrized here
   *     --fixture N        or: deterministic seeded web-ish graph, N vertices
   *     --sketch K         leiden: Misra-Gries slots (0 = exact scan)
+  *     --sketch-agg 1     leiden: ALSO sketch the coarsening (reference
+  *                        lowmem semantics; see LeidenOptions.sketchAggregation)
+  *     --mtx PATH         MatrixMarket input (interop with native readers)
   *     --localfirst N     leiden: N partition-local CSR sweeps seed pass 0 (P4)
   *     --snapshot DIR     leiden: per-pass checkpoint dir (resume-aware)
   *     --out PATH         write result parquet (default: print summary only)
@@ -60,6 +64,8 @@ object Cli {
       case "leiden" =>
         val r = Leiden.detect(edges, LeidenOptions(
           sketchSlots = opts.getOrElse("--sketch", "0").toInt,
+          // reference-semantics lossy aggregation (see LeidenOptions scaladoc)
+          sketchAggregation = opts.getOrElse("--sketch-agg", "0").toInt > 0,
           localFirstPassIters = opts.getOrElse("--localfirst", "0").toInt,
           // CLI opts into the churn stop (library default 0 = reference
           // termination semantics); --min-moved 0 restores the reference
@@ -101,7 +107,17 @@ object Cli {
         q.stop()
         (emitted, s"emittedWindows=$n watermark=$wm batchWindows=${
           graft.streaming.EventStreams.windowedCounts(ev, "1 hour").count()}")
-      case other => sys.error(s"unknown algo '$other' (leiden|pagerank|cc|lpa|triangles|stream-demo)")
+      case "mtx-dump" =>
+        // interop: write the (symmetrized) edge table as MatrixMarket so the
+        // SAME graph can be fed to native MTX consumers — used for the
+        // head-to-head quality comparison against the reference binary
+        // (BENCH.md "reference parity"); ids are kept as-is, both edge
+        // directions emitted, matching mtx.hxx's raw-id reader semantics
+        val mtxOut = opts.getOrElse("--mtxout",
+          sys.error("mtx-dump needs --mtxout PATH"))
+        graft.io.Mtx.write(edges, mtxOut)
+        (edges.limit(0), s"wrote=$mtxOut")
+      case other => sys.error(s"unknown algo '$other' (leiden|pagerank|cc|lpa|triangles|stream-demo|mtx-dump)")
     }
     opts.get("--out").foreach(p => result.write.mode("overwrite").parquet(p))
     val secs = (System.currentTimeMillis() - t0) / 1000.0

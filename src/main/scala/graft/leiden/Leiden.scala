@@ -208,19 +208,24 @@ object Leiden {
         val cn = refMemb.select("comm").distinct().count()
         if (cn.toDouble / gn >= opts.aggregationTolerance) done = true
         else {
-          // 3. aggregate into the next pass's graph — through the sketch
-          // when the low-mem variant is active at this size. The
-          // aggregation width is floored at 8: the reference instantiates
-          // the aggregation sketch at SLOTS too
-          // (/root/reference/inc/leidenLowmem.hxx:370-417) but documents
-          // its <=1% modularity bound only from k=8 up (README.md:9); a
-          // 1-slot coarse graph (one out-edge per community) loses
-          // connectivity that synchronous supersteps — unlike the
-          // reference's asynchronous CAS dynamics — cannot recover. The
-          // scan keeps the caller's width (1 = Boyer-Moore majority).
+          // 3. aggregate into the next pass's graph. EXACT by default even
+          // in low-mem mode: Catalyst's shuffled hash aggregation spills,
+          // so the per-thread-memory hazard the reference's aggregation
+          // sketch guards against does not exist here, while its compounded
+          // weight under-estimates destroy quality whenever a pass leaves a
+          // large community set (see LeidenOptions.sketchAggregation).
+          // Opt-in sketch aggregation keeps reference semantics: width
+          // floored at 8 — the reference instantiates the aggregation
+          // sketch at SLOTS too (/root/reference/inc/leidenLowmem.hxx:370-417)
+          // but documents its <=1% modularity bound only from k=8 up
+          // (README.md:9); a 1-slot coarse graph (one out-edge per
+          // community) loses connectivity that synchronous supersteps —
+          // unlike the reference's asynchronous CAS dynamics — cannot
+          // recover. The scan keeps the caller's width (1 = Boyer-Moore).
           val coarse = timed("aggregate") {
             PlanUtils.checkpointTruncated(
-              if (slots > 0) Aggregate.coarsenSketch(edges, refMemb, math.max(slots, 8))
+              if (slots > 0 && opts.sketchAggregation)
+                Aggregate.coarsenSketch(edges, refMemb, math.max(slots, 8))
               else Aggregate.coarsen(edges, refMemb))
           }
           opts.snapshotDir.foreach { root =>

@@ -12,11 +12,27 @@ case class LeidenOptions(
     toleranceDrop: Double = 10.0,
     maxIterations: Int = 20,
     maxPasses: Int = 10,
-    /** Misra-Gries sketch slots for the low-memory scan AND the lossy
-      * coarsening; 0 = exact. Reference uses 64 (multi) and 1 (majority)
+    /** Misra-Gries sketch slots for the low-memory scan; 0 = exact.
+      * Reference uses 64 (multi) and 1 (majority)
       * (`/root/reference/main.cxx:69-75`).
       */
     sketchSlots: Int = 0,
+    /** With sketchSlots > 0, ALSO route graph coarsening through the k-slot
+      * sketch (`Aggregate.coarsenSketch`, the analog of
+      * `/root/reference/inc/leidenLowmem.hxx:370-417`). OFF by default and
+      * deliberately so: the reference sketches aggregation to bound its
+      * per-thread hashtable memory, a hazard Catalyst does not have —
+      * `Aggregate.coarsen` is a shuffled hash aggregation that spills, so
+      * the scalable Spark formulation keeps coarsening exact. The lossy
+      * path's <=1% modularity bound (README.md:9) presumes few surviving
+      * communities; when a pass ends with a large community set (hub-heavy
+      * web graphs under the synchronous sweeps), compounded under-estimated
+      * super-edge weights destroy later passes — measured on a 100k-vertex
+      * preferential-attachment graph: Q 0.0015 sketch-aggregated vs 0.209
+      * exact (44% of total edge weight lost by pass 2). Opt in only for
+      * strict reference-semantics experiments.
+      */
+    sketchAggregation: Boolean = false,
     /** With sketchSlots > 0, passes whose graph has fewer vertices than
       * this fall back to the exact scan/coarsening: the sketch exists to
       * bound per-vertex aggregation state on hub-heavy graphs, and on a

@@ -46,7 +46,8 @@ class SketchSpec extends SparkSpec {
     for (k <- Seq(64, 1)) {
       // sketchExactCutoff = 0: force the sketch path at toy size (the
       // default falls back to the exact scan below 8192 vertices)
-      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k, sketchExactCutoff = 0, localSolveEdgeThreshold = 0))
+      val r = Leiden.detect(edges, LeidenOptions(sketchSlots = k, sketchExactCutoff = 0,
+        sketchAggregation = true, localSolveEdgeThreshold = 0))
       assert(r.communities === 2L, s"k=$k communities=${r.communities}")
       assert(approx(r.modularity, 11.0 / 26.0, 1e-9), s"k=$k q=${r.modularity}")
     }
@@ -89,10 +90,28 @@ class SketchSpec extends SparkSpec {
     // 12 blocks: each coarse community sees ~12 neighbor communities, above
     // the aggregation sketch's 8-slot floor, so coarsening MUST evict
     val lossy = Leiden.detect(edges, LeidenOptions(sketchSlots = 8, sketchExactCutoff = 0,
-      localSolveEdgeThreshold = 0))
+      sketchAggregation = true, localSolveEdgeThreshold = 0))
     // one-sided: the lossy path may not LOSE more than 1% of exact Q (it
     // may land higher — both are valid local optima of the same objective)
     assert(lossy.modularity >= exact.modularity - 0.01 * math.abs(exact.modularity),
       s"lossy=${lossy.modularity} exact=${exact.modularity}")
+  }
+
+  test("hub-heavy graph: low-mem (exact aggregation default) holds quality where " +
+    "sketch aggregation collapses it") {
+    // Preferential-attachment-style web graph: hub vertices see thousands of
+    // distinct neighbor communities under the synchronous singleton start —
+    // the regime where compounded sketch-coarsening under-estimates destroyed
+    // Q before sketchAggregation became opt-in (head-to-head vs the reference
+    // binary on a 100k-vertex twin of this fixture: Q 0.0015 vs 0.209).
+    val edges = graft.Cli.fixtureEdges(spark, 10000).cache()
+    val o = LeidenOptions(maxIterations = 6, maxPasses = 3, localSolveEdgeThreshold = 0)
+    val exact = Leiden.detect(edges, o)
+    // default cutoff 8192 < 10000 vertices: the MG scan is genuinely active
+    val lowmem = Leiden.detect(edges, o.copy(sketchSlots = 64))
+    assert(exact.modularity > 0.1, s"fixture lost its structure? exact=${exact.modularity}")
+    assert(lowmem.modularity >= 0.5 * exact.modularity,
+      s"lowmem=${lowmem.modularity} exact=${exact.modularity}")
+    edges.unpersist()
   }
 }
