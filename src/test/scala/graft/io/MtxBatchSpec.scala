@@ -26,6 +26,21 @@ class MtxBatchSpec extends SparkSpec {
     assert(e === Set((1L, 2L, 5.0), (2L, 3L, 1.5), (3L, 1L, 2.0), (1L, 1L, 7.0)))
   }
 
+  test("mtx write -> read roundtrip (the mtx-dump interop path)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((0L, 3L, 1.0), (3L, 0L, 1.0), (1L, 2L, 2.5), (2L, 1L, 2.5),
+      (3L, 3L, 4.0)).toDF("src", "dst", "w")
+    val p = Files.createTempFile("w", ".mtx").toString
+    Mtx.write(edges, p)
+    val h = Mtx.header(spark, p)
+    assert(h.rows === 3 && h.nnz === 5 && !h.symmetric) // max id, all 5 rows
+    val back = Mtx.read(spark, p, weighted = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(back === Set((0L, 3L, 1.0), (3L, 0L, 1.0), (1L, 2L, 2.5),
+      (2L, 1L, 2.5), (3L, 3L, 4.0)))
+  }
+
   test("mtx symmetric pattern: both directions, w=1, self loop kept once") {
     val p = Files.createTempFile("s", ".mtx").toString
     Files.writeString(java.nio.file.Paths.get(p),
