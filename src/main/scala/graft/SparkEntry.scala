@@ -76,6 +76,37 @@ object SparkEntry {
           row_number().over(w).cast("long").as("rnk"))
         .filter(col("rnk") <= 3)
     }),
+    "q5_region_revenue" -> ((s, dir) => { // 6-way star join: the generic
+      // OLAP surface at 100 TB — lineitem/orders are the shuffled facts,
+      // every dimension (customer, supplier, nation, region) broadcasts.
+      // Revenue is computed in EXACT integer e4 units (prices carry 2
+      // decimals, discounts 2): BIGINT sums are order-independent in both
+      // engines, so the oracle hash never hits float summation noise.
+      val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_e4"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum("rev_e4").cast("long").as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
     // --- graph: scans/degrees/weights (S2, P2, A1, A2) ----------------
     "g_degree" -> ((s, dir) => EdgeTable.degrees(bipartite(s, dir))),
     "g_total_weight" -> ((s, dir) =>
@@ -394,6 +425,20 @@ object SparkEntry {
         |  SELECT o_custkey AS c_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_rows
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "g_components" ->
       """WITH RECURSIVE e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem),
         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),

@@ -36,6 +36,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
   }
 
+  test("q5: every dimension of the 6-way star broadcasts; date and region filters reach the scans") {
+    val plan = planOf("q5_region_revenue")
+    // customer, supplier, nation, region all join via broadcast — only the
+    // lineitem-orders fact join may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(800))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("EqualTo(r_name,ASIA)"), plan.take(800))
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").filter(col("l_quantity") > 40)
       .select("l_orderkey")
