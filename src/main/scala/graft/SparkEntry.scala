@@ -229,6 +229,27 @@ object SparkEntry {
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
     }),
+    "g_leiden_refine_sweep" -> ((s, dir) => { // oracle: ONE half-sweep of
+      // the PRODUCTION refinement rule — LocalMove.sweep with a bound and
+      // refineSingletons, exactly as Leiden.detect's phase 2 invokes it
+      // (bound = id % 64, singleton init). From singletons the rule
+      // degenerates cleanly for SQL: movers are even singletons, scan is
+      // same-bound neighbors, the both-singleton swap guard leaves only
+      // smaller-id targets, wud = 0 and ctot_d = vtot_u. Integer-valued
+      // inputs + identical expression tree keep scores bit-equal; measured
+      // sf0.01 margins: min |score| 7.2e-6, the 2 exact top-2 ties break
+      // identically in both engines (smallest community id on bit-equal
+      // scores).
+      val e = copurchaseSym(s, dir)
+      val m = EdgeTable.totalWeight(e) / 2
+      val st0 = EdgeTable.vertexWeights(e)
+        .select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+      val bound = st0.select(col("id"), pmod(col("id"), lit(64)).as("bound"))
+      LocalMove.sweep(e, st0, m, 1.0, parity = 0, bound = Some(bound),
+          refineSingletons = true).state
+        .filter(col("comm") =!= col("id"))
+        .select(col("id").cast("long").as("id"), col("comm").cast("long").as("newcomm"))
+    }),
     "g_leiden_refine" -> ((s, dir) => { // oracle: the refinement phase —
       // refined sub-communities are the connected components of each
       // community's induced subgraph, labeled by min member vertex id
@@ -549,6 +570,26 @@ object SparkEntry {
         |        GROUP BY 1, 2)
         |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
         |       CAST(w AS DOUBLE) AS w FROM agg""".stripMargin,
+    "g_leiden_refine_sweep" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |vt AS (SELECT src AS id, sum(w) AS vtot FROM e GROUP BY 1),
+        |mm AS (SELECT sum(w) / 2 AS m FROM e),
+        |cand AS (SELECT ed.src, ed.dst AS cdst, sum(ed.w) AS wuc
+        |         FROM e ed
+        |         WHERE ed.src % 2 = 0 AND ed.src <> ed.dst
+        |           AND ed.src % 64 = ed.dst % 64 AND ed.dst < ed.src
+        |         GROUP BY 1, 2),
+        |scored AS (SELECT c.src, c.cdst,
+        |                  c.wuc / mm.m - (vu.vtot * vd.vtot) / (2 * mm.m * mm.m) AS score
+        |           FROM cand c JOIN vt vu ON c.src = vu.id JOIN vt vd ON c.cdst = vd.id, mm),
+        |pick AS (SELECT src, cdst, score,
+        |                row_number() OVER (PARTITION BY src ORDER BY score DESC, cdst ASC) AS rn
+        |         FROM scored)
+        |SELECT CAST(src AS BIGINT) AS id, CAST(cdst AS BIGINT) AS newcomm
+        |FROM pick WHERE rn = 1 AND score > 0""".stripMargin,
     "g_leiden_refine" ->
       """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
