@@ -49,6 +49,12 @@ object SparkEntry {
 
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Bound on the MemoryStream feed fixtures of the two streaming queries:
+    * the fixture is a driver-side collect by MemoryStream's construction,
+    * so it must not scale with the sf directory. 200k edge rows ≈ a few MB.
+    */
+  private val streamFeedCap = 200000
+
   /** Flagship: Leiden communities of the sf0.001 part co-purchase graph. */
   def entry(spark: SparkSession): DataFrame = {
     val edges = copurchaseSym(spark, "/root/testdata/sf0.001")
@@ -138,6 +144,13 @@ object SparkEntry {
     }),
     "g_pagerank" -> ((s, dir) => // rows-only: float fixpoint
       PageRank.run(bipartite(s, dir))), // default tol 1e-6 = BASELINE target
+    "g_pagerank_dist" -> ((s, dir) => // rows-only twin of g_pagerank PINNED
+      // to the distributed plan (localEdgeThreshold = 0): sf0.1's bipartite
+      // graph now routes through the driver-local tail under the default
+      // threshold, so this row keeps the 100-TB iteration path itself
+      // measured by Bench (and its PageRankSpec parity test pins the two
+      // paths to identical ranks).
+      PageRank.run(bipartite(s, dir), localEdgeThreshold = 0)),
     "g_pagerank_k5" -> ((s, dir) => // oracle: 5 FIXED power iterations; integer
       // nano-ranks (floor(r*1e9+0.5), same rule in the SQL). Cross-engine
       // summation-order noise is ~1e-16 relative (~1e-19 absolute on these
@@ -147,10 +160,14 @@ object SparkEntry {
       PageRank.run(bipartite(s, dir), tol = 0.0, maxIters = 5)
         .select(col("id"),
           floor(col("rank") * lit(1e9) + lit(0.5)).cast("long").as("rank_e9"))),
-    "g_bfs" -> ((s, dir) => { // oracle: DuckDB recursive-CTE hop distances
+    "g_bfs" -> ((s, dir) => { // oracle: DuckDB recursive-CTE hop distances.
+      // maxDepth = 40 is COUPLED to the oracle's `WHERE r.dist < 40`
+      // recursion cap (both sides emit distances up to exactly 40): a
+      // fixture with eccentricity > 40 from the min-src vertex truncates
+      // identically in both engines instead of silently diverging.
       val e = bipartite(s, dir)
       val src = e.agg(min("src").cast("long")).head.getLong(0)
-      Bfs.run(e, s.range(1).select(lit(src).as("id")))
+      Bfs.run(e, s.range(1).select(lit(src).as("id")), maxDepth = 40)
         .select(col("id"), col("dist").cast("long").as("dist"))
     }),
     "g_point_lookup" -> ((s, dir) => { // oracle: one-vertex neighborhood (P3)
@@ -263,6 +280,32 @@ object SparkEntry {
       Refine.refine(e, mem).select(col("id").cast("long").as("id"),
         col("comm").cast("long").as("comm"), col("bound").cast("long").as("bound"))
     }),
+    "g_disconnected" -> ((s, dir) => { // oracle: the A16/A17 disconnected-
+      // communities check (the reference logs it per run — main.cxx:58,
+      // properties.hxx:379-401) over a FIXED membership comm = id % 64:
+      // per community, the number of connected components of its induced
+      // subgraph via Refine's formulation; a community is disconnected iff
+      // parts > 1. Pure integer set computation, no float decisions — the
+      // same engine path Leiden.disconnectedCommunities aggregates to its
+      // scalar count (the count is sum(parts > 1) over this output).
+      val e = copurchaseSym(s, dir)
+      val mem = e.select(col("src").as("id")).distinct()
+        .select(col("id"), pmod(col("id"), lit(64)).as("comm"))
+      Refine.refine(e, mem)
+        .groupBy(col("bound").cast("long").as("bound"))
+        .agg(countDistinct("comm").as("parts"))
+    }),
+    "s7_log_etl" -> ((s, dir) => { // oracle: S7 log→CSV ETL (process.js:8
+      // analog). Fixture lines are built BYTE-EXACTLY in the reference's
+      // printf format from integer string ops keyed by o_orderkey (both
+      // engines concat the same strings — no float formatting anywhere),
+      // then the 15-group RRESLT regex extracts every record field back.
+      val lines = s.read.parquet(s"$dir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(13)) === 1)
+        .select(col("o_orderkey").cast("long").as("line_id"),
+          graft.io.LogEtl.refLogLine(col("o_orderkey").cast("long")).as("line"))
+      graft.io.LogEtl.parse(lines)
+    }),
     // --- text analysis -------------------------------------------------
     "d_token_stats" -> ((s, dir) =>
       TextOps.quality(docs(s, dir)).select(
@@ -365,12 +408,17 @@ object SparkEntry {
       // through GraphStream.maintain — a real Structured Streaming query
       // folding each batch into a new snapshot. The driver-side collect
       // below is the STREAM FEED FIXTURE (MemoryStream takes local data by
-      // construction); the maintenance itself is distributed. Output:
-      // symmetric degrees of the final maintained edge table.
+      // construction); the maintenance itself is distributed. The feed is
+      // BOUNDED sf-independently at the first 200k edges by (src, dst) —
+      // a deterministic total order the oracle SQL replicates — so the
+      // fixture collect stays a few MB at any scale factor (at sf<=0.01
+      // the cap is above the edge count and a no-op). Output: symmetric
+      // degrees of the final maintained edge table.
       import graft.streaming.GraphStream
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = copurchase(s, dir)
+        .orderBy("src", "dst").limit(streamFeedCap)
         .select(col("src"), col("dst"), col("w").cast("double").as("w"),
           ((col("src") + col("dst")) % 2 === 0).as("even"),
           ((col("src") * 31 + col("dst")) % 10 === 0).as("del"))
@@ -399,11 +447,13 @@ object SparkEntry {
       // batch 0's membership with only the new endpoints marked affected.
       // Output: community size histogram of the final maintained state.
       // Correctness pins live in GraphStreamSpec (incremental == from-scratch
-      // parity) and the LeidenSpec golden suites.
+      // parity) and the LeidenSpec golden suites. Feed bounded at
+      // streamFeedCap edges (same sf-independent device as g_edge_stream).
       import graft.streaming.GraphStream
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = copurchase(s, dir)
+        .orderBy("src", "dst").limit(streamFeedCap)
         .select(col("src"), col("dst"), col("w").cast("double").as("w"),
           ((col("src") + col("dst")) % 2 === 0).as("even"))
         .collect()
@@ -607,6 +657,67 @@ object SparkEntry {
         |SELECT CAST(c.id AS BIGINT) AS id, CAST(c.comp AS BIGINT) AS comm,
         |       CAST(m.comm AS BIGINT) AS bound
         |FROM comp c JOIN mem m ON c.id = m.id""".stripMargin,
+    "g_disconnected" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM cp UNION ALL SELECT dst, src, w FROM cp),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |mem AS (SELECT id, id % 64 AS comm FROM v),
+        |intra AS (SELECT ed.src, ed.dst FROM e ed
+        |          JOIN mem a ON ed.src = a.id JOIN mem b ON ed.dst = b.id
+        |          WHERE a.comm = b.comm AND ed.src <> ed.dst),
+        |reach AS (SELECT id AS root, id AS node FROM v
+        |          UNION
+        |          SELECT r.root, i.dst FROM reach r JOIN intra i ON r.node = i.src),
+        |comp AS (SELECT root AS id, min(node) AS comp FROM reach GROUP BY root)
+        |SELECT CAST(m.comm AS BIGINT) AS bound, count(DISTINCT c.comp) AS parts
+        |FROM comp c JOIN mem m ON c.id = m.id GROUP BY 1""".stripMargin,
+    "s7_log_etl" -> {
+      // fixture generation: the same integer-keyed string build as
+      // LogEtl.refLogLine; extraction: the RRESLT regex split in two
+      // (DuckDB's RE2 binding caps at 10 capture groups per pattern)
+      def ms(mult: Int, off: Int) =
+        s"lpad(CAST(((k*$mult+$off) % 100000000) // 10 AS VARCHAR), 7, '0') || '.' || " +
+        s"CAST(((k*$mult+$off) % 100000000) % 10 AS VARCHAR)"
+      val head = "'^\\{(.+?)ms, (.+?)ms mark, (.+?)ms init, (.+?)ms firstpass, " +
+        "(.+?)ms locmove, (.+?)ms refine, (.+?)ms aggr, (.+?)GB memory, '"
+      val tail = "'GB memory, (.+?) slots, (.+?) iters, (.+?) passes, " +
+        "(.+?) modularity, (.+?)/(.+?) disconnected\\} (.+)$'"
+      s"""WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 1),
+        |lines AS (SELECT k AS line_id,
+        |  '{' || ${ms(7, 0)} || 'ms, ' || ${ms(3, 1)} || 'ms mark, ' ||
+        |  ${ms(5, 2)} || 'ms init, ' || ${ms(11, 3)} || 'ms firstpass, ' ||
+        |  ${ms(13, 4)} || 'ms locmove, ' || ${ms(17, 5)} || 'ms refine, ' ||
+        |  ${ms(19, 6)} || 'ms aggr, ' ||
+        |  lpad(CAST(((k*23+7) % 100000000) // 10000 AS VARCHAR), 4, '0') || '.' ||
+        |  lpad(CAST((k*23+7) % 10000 AS VARCHAR), 4, '0') || 'GB memory, ' ||
+        |  CASE k % 3 WHEN 0 THEN '0.000e+00' WHEN 1 THEN '6.400e+01' ELSE '1.000e+00' END ||
+        |  ' slots, ' || lpad(CAST(k % 500 AS VARCHAR), 4, '0') || ' iters, ' ||
+        |  lpad(CAST(k % 10 AS VARCHAR), 3, '0') || ' passes, 0.' ||
+        |  lpad(CAST(k % 1000000000 AS VARCHAR), 9, '0') || ' modularity, ' ||
+        |  CAST(k % 7 AS VARCHAR) || '/' || CAST(k % 1000 + 1 AS VARCHAR) ||
+        |  ' disconnected} ' ||
+        |  CASE k % 2 WHEN 0 THEN 'leidenStaticOmp' ELSE 'leidenLowmemStaticOmpMajorities' END
+        |  AS line FROM k)
+        |SELECT line_id,
+        |  regexp_extract(line, $head, 1) AS total_ms,
+        |  regexp_extract(line, $head, 2) AS mark_ms,
+        |  regexp_extract(line, $head, 3) AS init_ms,
+        |  regexp_extract(line, $head, 4) AS firstpass_ms,
+        |  regexp_extract(line, $head, 5) AS locmove_ms,
+        |  regexp_extract(line, $head, 6) AS refine_ms,
+        |  regexp_extract(line, $head, 7) AS aggr_ms,
+        |  regexp_extract(line, $head, 8) AS memory_gb,
+        |  regexp_extract(line, $tail, 1) AS slots,
+        |  CAST(regexp_extract(line, $tail, 2) AS BIGINT) AS iters,
+        |  CAST(regexp_extract(line, $tail, 3) AS BIGINT) AS passes,
+        |  regexp_extract(line, $tail, 4) AS modularity,
+        |  CAST(regexp_extract(line, $tail, 5) AS BIGINT) AS disconnected,
+        |  CAST(regexp_extract(line, $tail, 6) AS BIGINT) AS total_comms,
+        |  regexp_extract(line, $tail, 7) AS technique
+        |FROM lines""".stripMargin
+    },
     "g_leiden_sweep" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |cp AS (SELECT a.p AS src, b.p AS dst, CAST(count(*) AS DOUBLE) AS w
@@ -817,14 +928,16 @@ object SparkEntry {
     "ev_user_events" ->
       """SELECT user_id, count(*) AS n, count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id""".stripMargin,
-    // the streamed insert/insert/delete batches compose to: all copurchase
-    // edges except (src*31+dst)%10==0 (inserts are disjoint halves, the
-    // deletes land after both) — the fold is SQL-expressible even though
-    // the engine path is a live Structured Streaming query
+    // the streamed insert/insert/delete batches compose to: the first 200k
+    // copurchase edges by (src, dst) — the query's sf-independent feed cap —
+    // except (src*31+dst)%10==0 (inserts are disjoint halves, the deletes
+    // land after both) — the fold is SQL-expressible even though the engine
+    // path is a live Structured Streaming query
     "g_edge_stream" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
-        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+        |e0 AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+        |e AS (SELECT * FROM e0 ORDER BY src, dst LIMIT 200000),
         |kept AS (SELECT * FROM e WHERE (src*31 + dst) % 10 <> 0),
         |sym AS (SELECT src, dst, w FROM kept
         |        UNION ALL SELECT dst, src, w FROM kept)

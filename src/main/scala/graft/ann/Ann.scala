@@ -48,6 +48,17 @@ object Ann {
       .select("qid", "id", "rank", "cosine")
   }
 
+  /** Banding contract guard: every signature bit must belong to exactly one
+    * band — a non-divisible (planes, tables) pair would silently leave the
+    * high `planes % tables` bits uncovered by any band (recall loss).
+    */
+  private def bandRows(planes: Int, tables: Int): Int = {
+    require(planes % tables == 0,
+      s"planes ($planes) must be a multiple of tables ($tables): bands of " +
+        "planes/tables bits must tile the signature exactly")
+    planes / tables
+  }
+
   /** Deterministic hyperplane sign bits: plane p's component d is a
     * pseudo-gaussian-ish value derived from xxhash64(p, d). Signature =
     * `planes` sign bits packed into a long.
@@ -70,7 +81,7 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 16, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = planes / tables
+    val rows = bandRows(planes, tables)
     def buckets(df: DataFrame, idc: String, vc: String) =
       df.select(col(idc), col(vc),
           explode(array((0 until tables).map(t =>
@@ -100,7 +111,7 @@ object Ann {
   def lshTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                  planes: Int = 16, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = planes / tables
+    val rows = bandRows(planes, tables)
     def buckets(df: DataFrame, idc: String, vc: String) =
       df.select(col(idc), lshSignatureMd5(col(vc), planes).as("sig"))
         .select(col(idc), explode(array((0 until tables).map(t =>
@@ -136,9 +147,26 @@ object Ann {
     * @param corpus  (id, vec)
     * @return (qid, id, rank, cosine), rank 1..k per query
     */
+  /** Literal-expression budget for IVF: up to this nlist the centroids are
+    * embedded as plan literals and cell assignment is a ZERO-exchange
+    * per-row argmax (below); beyond it the O(nlist) expression tree stops
+    * being codegen-friendly (JIT method-size blowup) and assignment/probing
+    * switch to a broadcast centroid TABLE join + one argmax aggregation —
+    * same semantics (AnnSpec pins parity), one broadcast of the nlist×dim
+    * table plus one map-side-combined exchange of the corpus instead of
+    * zero, which is the right trade at nlist ≳ 10³ for billion-vector
+    * corpora. The broadcast path also never collects centroids to the
+    * driver — the centroid table stays a (distributed) DataFrame.
+    */
+  val IvfLiteralBudget = 64
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    ivfSearch(queries, corpus, k, nprobe, ivfCentroids(corpus, nlist))
+              nlist: Int = 16, nprobe: Int = 4,
+              literalBudget: Int = IvfLiteralBudget): DataFrame =
+    if (nlist <= literalBudget)
+      ivfSearch(queries, corpus, k, nprobe, ivfCentroids(corpus, nlist))
+    else
+      ivfSearchBroadcast(queries, corpus, k, nprobe, ivfCentroidTable(corpus, nlist))
 
   /** Cross-engine IVF twin: identical search, but centroids are the nlist
     * corpus vectors with the smallest 48-bit md5(id) (the engine-portable
@@ -156,7 +184,6 @@ object Ann {
 
   private def ivfSearch(queries: DataFrame, corpus: DataFrame, k: Int,
                         nprobe: Int, cents: Array[(Long, Column)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // assign each corpus vector to its nearest centroid (max cosine, ties
     // to the smallest centroid id — deterministic): a pure per-row argmax
     // expression over the centroid literals — zero exchanges of the corpus
@@ -170,6 +197,41 @@ object Ann {
           struct((-cosine(col("qvec"), cv)).as("nsim"), lit(cid).as("cid"))
         }: _*)), 1, nprobe)).as("pc"))
       .select(col("qid"), col("qvec"), col("pc.cid").as("cell"))
+    ivfRank(probes, assigned, k)
+  }
+
+  /** Broadcast-centroid IVF search — the large-nlist path behind
+    * `IvfLiteralBudget`. Identical decision rules to the literal path
+    * (max cosine, ties to the smaller centroid id; probe cut desc sim,
+    * ties asc cid): assignment crossJoins the broadcast centroid table and
+    * reduces with ONE argmax aggregation whose map-side combine collapses
+    * the nlist copies of each corpus row before the exchange — shuffled
+    * bytes are O(corpus), never O(corpus × nlist).
+    */
+  private def ivfSearchBroadcast(queries: DataFrame, corpus: DataFrame, k: Int,
+                                 nprobe: Int, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bcents = broadcast(cents)
+    // struct order = (sim, -cid, cell): same deterministic tie-break as the
+    // literal path's array_max struct
+    val assigned = corpus.crossJoin(bcents)
+      .select(col("id"), col("vec"),
+        struct(cosine(col("vec"), col("cvec")).as("sim"),
+          (-col("cid")).as("tb"), col("cid").as("cell")).as("sc"))
+      .groupBy("id")
+      .agg(max("sc").getField("cell").as("cell"), first("vec").as("vec"))
+    val pw = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
+    val probes = queries.crossJoin(bcents)
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    ivfRank(probes, assigned, k)
+  }
+
+  /** Shared IVF tail: probed-cell equi-join, exact re-score, top-k. */
+  private def ivfRank(probes: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("cosine"))
@@ -177,6 +239,17 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "id", "rank", "cosine")
   }
+
+  /** The IVF coarse-centroid table as a DataFrame (cid, cvec) — the same
+    * deterministic smallest-xxhash64(id) sample as `ivfCentroids`, kept
+    * distributed for the broadcast-assignment path (no driver collect; the
+    * global top-nlist is a TakeOrderedAndProject, not a full sort).
+    */
+  private[graft] def ivfCentroidTable(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus.select(col("id").as("cid"), col("vec").as("cvec"),
+        xxhash64(col("id")).as("h"))
+      .orderBy(col("h"), col("cid")).limit(nlist)
+      .select(col("cid"), col("cvec"))
 
   /** Deterministic IVF coarse centroids: the `nlist` corpus vectors with
     * the smallest xxhash64(id) — a seeded uniform sample, no RNG state,
@@ -247,7 +320,7 @@ object Ann {
   def cosineNearDupPairsMd5(vecs: DataFrame, threshold: Double = 0.4,
                             planes: Int = 16, tables: Int = 4,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val rows = planes / tables
+    val rows = bandRows(planes, tables)
     // signature projected ONCE below the band explode (multi-reference
     // guard keeps the 16x64-md5 expression from inlining per band)
     val b = vecs.select(col(idCol).as("id"),
@@ -275,7 +348,7 @@ object Ann {
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          planes: Int = 16, tables: Int = 4,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val rows = planes / tables
+    val rows = bandRows(planes, tables)
     // candidate ids only through the bucket join; a pair matching in
     // several tables is deduplicated BEFORE scoring, so each pair's cosine
     // is computed exactly once (and never compared as a float dedup key)

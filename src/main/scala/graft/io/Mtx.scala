@@ -82,7 +82,14 @@ object Mtx {
           .otherwise(coalesce(col("f").getItem(2).cast("double"), lit(1.0))).as("w"))
   }
 
-  /** Write a graph as MTX (general, real) — for interop tests. */
+  /** Write a graph as MTX (general, real) — for interop with RAW-ID readers
+    * only (this repo's `read`, the reference binary's loader): vertex ids
+    * are written verbatim, so a graph with 0-based ids 0..n-1 gets header
+    * dims max(id) = n-1 while id 0 appears in the body — malformed for
+    * strict 1-based MatrixMarket consumers. tools/ref_parity.sh generates
+    * its fixtures under the same convention; shift ids to 1-based before
+    * calling if a standard MM consumer must read the file.
+    */
   def write(edges: DataFrame, path: String): Unit = {
     val n = EdgeTable.vertices(edges).agg(max("id")).head.getLong(0)
     val rows = edges.select(concat_ws(" ",

@@ -79,14 +79,36 @@ object Aggregate {
 
   /** Dense renumbering of community ids to 0..C-1 (A12,
     * `/root/reference/inc/leiden.hxx:618-622`). Deterministic: ordered by
-    * community id. Uses a global sort window — only applied to POST-
-    * aggregation community sets (already shrunk), never to the raw vertex
-    * universe, so the single-partition window stays small at scale.
+    * community id.
+    *
+    * Scale shape (no single-partition global sort anywhere — PlanSpec pins
+    * it): the distinct community ids are RANGE-partitioned (partition i's
+    * ids all sort before partition i+1's), each partition ranks locally in
+    * parallel, and the per-partition ranks are composed into global dense
+    * ids by adding cumulative partition offsets — one tiny driver-side
+    * collect bounded by the PARTITION COUNT (32 rows), never by C. The
+    * dense map does not depend on where the range boundaries fall, so the
+    * output is identical at any parallelism.
     */
   def renumber(membership: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = membership.select("comm").distinct()
-      .withColumn("dense", (row_number().over(Window.orderBy("comm")) - 1).cast("long"))
+    val spark = membership.sparkSession
+    val ranged = membership.select("comm").distinct()
+      .repartitionByRange(col("comm"))
+      .withColumn("pid", spark_partition_id())
+    // materialized once: the counts action below and the returned join must
+    // read the SAME partition assignment (a recomputed range partitioning
+    // could legally re-sample boundaries between the two executions)
+    val local = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      ranged.withColumn("lrank",
+        (row_number().over(Window.partitionBy("pid").orderBy("comm")) - 1).cast("long")))
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toSeq
+    val offDf = spark.createDataFrame(offs).toDF("pid", "off")
+    val dense = local.join(broadcast(offDf), "pid")
+      .select(col("comm"), (col("lrank") + col("off")).as("dense"))
     membership.join(dense, "comm").select(col("id"), col("dense").as("comm"))
   }
 }

@@ -50,6 +50,23 @@ object GraphStream {
   /** Dataset name of the maintained edge table inside each snapshot. */
   val EdgeState = "edges"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Loud witness of the idempotent-sink skip: a skipped NON-EMPTY batch is
+    * the legitimate crash-replay of an already-committed batch — unless the
+    * stream was restarted WITHOUT a checkpointLocation, in which case source
+    * batch ids reset to 0 and genuinely new data would collide with old
+    * snapshot ids and be dropped here. The two cases are indistinguishable
+    * from inside the sink (same id, both non-empty), so this warns instead
+    * of throwing; run restarted streams with a checkpoint (scaladoc below).
+    */
+  private def warnSkip(table: String, batchId: Long, batch: Dataset[Row]): Unit =
+    if (!batch.isEmpty)
+      log.warn(s"[$table] skipping non-empty batch $batchId: snapshot already " +
+        "committed. If this stream was RESTARTED without a checkpointLocation, " +
+        "this is NEW DATA being dropped as a presumed replay - restart-with-new-" +
+        "data semantics require the checkpoint option.")
+
   case class EdgeOp(op: String, src: Long, dst: Long, w: Double, seq: Long)
 
   private val edgeSchema = StructType(Seq(
@@ -83,8 +100,13 @@ object GraphStream {
     *
     * @param init edge table used as the parent state of the FIRST batch
     *             only (ignored whenever a committed snapshot exists)
-    * @param checkpoint Structured Streaming checkpoint dir (source offsets);
-    *                   the sink itself is idempotent without it
+    * @param checkpoint Structured Streaming checkpoint dir (source offsets).
+    *                   REQUIRED for restart-with-new-data semantics: without
+    *                   it a restarted source numbers fresh batches from 0,
+    *                   which the idempotent sink must treat as replays of the
+    *                   committed snapshots 0..N and skip (with a loud WARN).
+    *                   Crash-replay within one checkpointed stream is safe
+    *                   either way.
     */
   def maintain(ops: Dataset[_], root: String, table: String,
                symmetric: Boolean = false,
@@ -96,7 +118,8 @@ object GraphStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val last = Snapshots.committed(root, table).lastOption
-        if (!last.exists(_ >= batchId)) { // replay of a committed batch: skip
+        if (last.exists(_ >= batchId)) warnSkip(table, batchId, batch)
+        else {
           val prev = last.map(id => Snapshots.read(spark, root, table, id, EdgeState))
             .orElse(init).getOrElse(emptyEdges(spark))
           val next = applyOps(prev, batch.toDF(), symmetric)
@@ -137,7 +160,8 @@ object GraphStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val last = Snapshots.committed(root, table).lastOption
-        if (!last.exists(_ >= batchId)) {
+        if (last.exists(_ >= batchId)) warnSkip(table, batchId, batch)
+        else {
           val prev = last.map(id => Snapshots.read(spark, root, table, id, EdgeState))
             .getOrElse(emptyEdges(spark))
           val prevMemb = last.map(id => Snapshots.read(spark, root, table, id, MembershipState))

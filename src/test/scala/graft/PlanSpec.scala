@@ -61,6 +61,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("renumber: dense assignment has no single-partition global sort") {
+    // the former Window.orderBy("comm") formulation planned an Exchange
+    // SinglePartition — a latent one-task bottleneck for any caller that
+    // hands renumber a vertex-scale membership
+    val mem = spark.range(0, 5000).select(col("id"), (col("id") % 97).as("comm"))
+    val out = graft.leiden.Aggregate.renumber(mem)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(1200))
+  }
+
+  test("ivf broadcast path: centroid table broadcasts; corpus is never broadcast") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    // literalBudget = 0 forces the broadcast-centroid path at any nlist
+    val plan = graft.ann.Ann.ivfTopK(queries, corpus, 3, nlist = 1024,
+      nprobe = 4, literalBudget = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(1200))
+  }
+
   test("d_minhash_pairs: the returned plan reads materialized jaccard (no shingle recompute above the filter)") {
     val plan = SparkEntry.queries("d_minhash_pairs")(spark, sf)
       .queryExecution.optimizedPlan.toString

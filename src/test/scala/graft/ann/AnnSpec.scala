@@ -89,6 +89,31 @@ class AnnSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("IVF broadcast-centroid path matches the literal path exactly") {
+    // same nlist/nprobe, literalBudget = 0 forces the broadcast variant:
+    // identical (qid, id, rank) tables prove the two assignment/probing
+    // formulations implement the same decision rules (argmax + tie-breaks)
+    val df = vecsDF(120, 16, 5).cache()
+    val queries = df.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = df.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    for (nlist <- Seq(8, 16)) {
+      val lit = Ann.ivfTopK(queries, corpus, 3, nlist = nlist, nprobe = 4)
+        .drop("cosine").collect().map(key).toSet
+      val bc = Ann.ivfTopK(queries, corpus, 3, nlist = nlist, nprobe = 4,
+        literalBudget = 0).drop("cosine").collect().map(key).toSet
+      assert(bc === lit, s"nlist=$nlist")
+    }
+    // nlist above the corpus size (the large-nlist regime the broadcast
+    // path exists for): every vector its own cell; nprobe=all == brute force
+    val brute = Ann.bruteForceTopK(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val big = Ann.ivfTopK(queries, corpus, 3, nlist = 1024, nprobe = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(big === brute)
+  }
+
   test("cosine near-dup pairs find planted duplicates") {
     val spark2 = spark
     import spark2.implicits._

@@ -30,6 +30,10 @@ if [[ ! -f "$WORK/fix100k.mtx" ]]; then
     "runMain graft.Cli mtx-dump --fixture 100000 --mtxout $WORK/fix100k.mtx")
 fi
 if [[ ! -f "$WORK/sbm50k.mtx" ]]; then
+# RAW-ID MTX convention (matches graft.io.Mtx.write and the reference
+# binary's loader): 0-based vertex ids written verbatim, header dims =
+# max id = n-1. Malformed for strict 1-based MatrixMarket consumers —
+# these fixtures are only for the two raw-id readers compared here.
 python3 - "$WORK/sbm50k.mtx" <<'PY'
 import sys, numpy as np
 rng = np.random.default_rng(7)
