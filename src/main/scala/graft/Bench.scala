@@ -56,20 +56,25 @@ object Bench {
                                 reps: Int = 3): (Double, Long, Double) = {
     val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
     val e = edges.count()
+    // the dst-partitioned twin makes the measured half-sweeps the
+    // production zero-E-exchange plan (exactly what Leiden.detect runs)
+    val edst = edges.repartition(col("dst")).cache()
+    edst.count()
+    val byDst = Some(edst)
     val m = EdgeTable.totalWeight(edges) / 2
     val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
     val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
-    // warmup half-sweep primes codegen + the edge cache; its materialized
+    // warmup half-sweep primes codegen + the edge caches; its materialized
     // result is the FIXED starting state of every repetition
-    val warm = LocalMove.sweep(edges, init, m, 1.0, 0).state
+    val warm = LocalMove.sweep(edges, init, m, 1.0, 0, edgesByDst = byDst).state
     var bestSecs = Double.MaxValue
     for (_ <- 1 to reps) {
       var state = warm
       val t0 = System.nanoTime()
       var done = 0
       while (done < iters) {
-        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1).state
-        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0).state
+        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1, edgesByDst = byDst).state
+        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0, edgesByDst = byDst).state
         if ((state ne warm) && (state ne s1) && (state ne s2)) PlanUtils.release(state)
         if ((s1 ne warm) && (s1 ne s2)) PlanUtils.release(s1)
         state = s2
@@ -80,6 +85,7 @@ object Bench {
     }
     PlanUtils.release(warm)
     PlanUtils.release(vtot)
+    edst.unpersist()
     edges.unpersist()
     (e.toDouble * iters / bestSecs, e, bestSecs)
   }

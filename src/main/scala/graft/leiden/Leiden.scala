@@ -175,11 +175,18 @@ object Leiden {
         } else singletonState(vtot)
       }
 
-      // 1. local moving
+      // 1. local moving — with a dst-partitioned twin of this pass's edge
+      // cache, so every main-phase half-sweep gathers without exchanging
+      // the O(E) stream (LocalMove.sweep scaladoc). Built once per pass
+      // (one exchange), dropped before refinement (the bound path cannot
+      // use it).
+      val edgesByDst = edges.repartition(col("dst")).cache()
       val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
         LocalMove.run(edges, state0, m, opts.resolution,
-          tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves)
+          tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
+          edgesByDst = Some(edgesByDst))
       }
+      edgesByDst.unpersist(blocking = false)
 
       // 2. refinement: bound = post-move membership; re-init singletons
       val bound = PlanUtils.checkpointTruncated(

@@ -39,16 +39,54 @@ object LocalMove {
   def communityTotals(state: DataFrame): DataFrame =
     state.groupBy("comm").agg(sum("vtot").as("ctot"), count(lit(1)).as("csize"))
 
+  /** Mover-id broadcast cap for the dst-partitioned scan path: above this
+    * many movers the broadcast (8 B/id) stops being worth shipping to every
+    * executor and the sweep falls back to the legacy mover-pruned join.
+    * 8M ids ≈ 64 MB — comfortably under executor memory at both local and
+    * cluster sizes.
+    */
+  val BroadcastMoverMax: Long = 8000000L
+
+  /** The zero-E-exchange gather plan (exposed for the PlanSpec pin): scan
+    * the dst-partitioned edge cache in place, prune to this half-sweep's
+    * movers with a broadcast semi-join, and probe the O(V) membership with
+    * a shuffle-hash join whose BUILD side is the membership — the cached
+    * O(E) side streams with no Exchange and no Sort (a hint-less plan
+    * picks sort-merge here and re-sorts all E rows every half-sweep).
+    */
+  private[graft] def dstGather(edgesByDst: DataFrame, movers: DataFrame,
+                                mdBase: DataFrame, parity: Int): DataFrame =
+    edgesByDst
+      .filter(col("src") =!= col("dst") && pmod(col("src"), lit(2)) === parity)
+      .join(broadcast(movers), Seq("src"), "left_semi")
+      .join(mdBase.hint("shuffle_hash"), "dst")
+      .select(col("src"), col("cdst"), col("w"))
+
   /** One synchronous half-sweep over vertices with id % 2 == parity.
     *
     * `bound` restricts scanning to same-bound neighbors (the refinement
     * guard, `/root/reference/inc/leiden.hxx:257`); pass None for the main
     * phase. With `refineSingletons`, only vertices that are still singleton
     * communities may move (`/root/reference/inc/leiden.hxx:422`).
+    *
+    * `edgesByDst` (same edge rows cached hash-partitioned by DST) switches
+    * the main-phase gather to the zero-E-exchange plan: the scan reads the
+    * dst cache in place (its partitioning satisfies the membership join),
+    * prunes to this half-sweep's movers with a BROADCAST semi-join instead
+    * of the src-side shuffle join, and only the O(V) membership plus the
+    * aggregated candidates cross the wire — the per-half-sweep O(E)
+    * (src,dst,w) exchange by dst disappears. Falls back to the legacy plan
+    * when the mover set exceeds BroadcastMoverMax (early supersteps of a
+    * 10^10-vertex graph) or when `bound` is set (refine needs both
+    * endpoints' bounds on the edge row before aggregation). Results are
+    * identical either way — the mover prune is a semi-join superset filter
+    * and the exact mover set is enforced by the moverInfo join below
+    * (LeidenSpec goldens run entirely on this path).
     */
   def sweep(edges: DataFrame, state: DataFrame, m: Double, resolution: Double,
             parity: Int, bound: Option[DataFrame] = None,
-            refineSingletons: Boolean = false, sketchSlots: Int = 0): SweepResult = {
+            refineSingletons: Boolean = false, sketchSlots: Int = 0,
+            edgesByDst: Option[DataFrame] = None): SweepResult = {
     val ct = communityTotals(state)
 
     val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
@@ -67,28 +105,45 @@ object LocalMove {
       // (/root/reference/inc/leiden.hxx:422)
       moverInfo = moverInfo.filter(col("csize_d") === 1)
 
-    val (moverIds, md) = bound match {
-      case Some(b) =>
-        val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
-        val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
-        (moverInfo.select("src").join(bs, "src"), mdBase.join(bd, "dst"))
-      case None => (moverInfo.select("src"), mdBase)
+    // Zero-E-exchange gather (scaladoc above): dst-cache scan + broadcast
+    // mover prune, when the dst cache is supplied, no bound restricts the
+    // scan, and this half-sweep's movers fit a broadcast. The mover count
+    // is one cheap scan of the materialized state.
+    var dstScan: Option[DataFrame] = None
+    var moverCount = -1L
+    if (edgesByDst.isDefined && bound.isEmpty) {
+      val movers = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
+        .select(col("id").as("src"))
+      moverCount = movers.count()
+      if (moverCount > 0 && moverCount <= BroadcastMoverMax)
+        dstScan = Some(dstGather(edgesByDst.get, movers, mdBase, parity))
     }
+    if (moverCount == 0) return SweepResult(state, 0L, 0.0)
 
-    // J1 gather, NARROW: the O(E) stream carries only (src, cdst, w)
-    // [plus the bound column during refine] through its exchanges — the
-    // per-vertex constants (ccur, vtot_u, ctot_d, csize_d) do NOT ride
-    // every edge row; they rejoin on the aggregated candidate stream
-    // below, which is O(distinct (vertex, neighbor community)). At the
-    // 32M-edge scale this halves the bytes shuffled per half-sweep.
+    // J1 gather, NARROW (legacy / refine / oversized-frontier path): the
+    // O(E) stream carries only (src, cdst, w) [plus the bound column
+    // during refine] through its exchanges — the per-vertex constants
+    // (ccur, vtot_u, ctot_d, csize_d) do NOT ride every edge row; they
+    // rejoin on the aggregated candidate stream below, which is
+    // O(distinct (vertex, neighbor community)). At the 32M-edge scale this
+    // halves the bytes shuffled per half-sweep.
     // SELF=false: self loops never counted in the scan
     // (/root/reference/inc/leiden.hxx:255-256).
-    var scan = edges
-      .filter(col("src") =!= col("dst"))
-      .join(moverIds, "src")
-      .join(md, "dst")
-    if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
-    val scanN = scan.select(col("src"), col("cdst"), col("w"))
+    val scanN = dstScan.getOrElse {
+      val (moverIds, md) = bound match {
+        case Some(b) =>
+          val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
+          val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
+          (moverInfo.select("src").join(bs, "src"), mdBase.join(bd, "dst"))
+        case None => (moverInfo.select("src"), mdBase)
+      }
+      var scan = edges
+        .filter(col("src") =!= col("dst"))
+        .join(moverIds, "src")
+        .join(md, "dst")
+      if (bound.isDefined) scan = scan.filter(col("bsrc") === col("bdst"))
+      scan.select(col("src"), col("cdst"), col("w"))
+    }
 
     // Exact path: one hash-agg state per distinct (vertex, neighbor
     // community). Sketch path (sketchSlots > 0, the low-memory variants of
@@ -203,14 +258,15 @@ object LocalMove {
           tolerance: Double, maxIterations: Int,
           bound: Option[DataFrame] = None,
           refineSingletons: Boolean = false, sketchSlots: Int = 0,
-          minMoves: Long = 0L): (DataFrame, Int, Long) = {
+          minMoves: Long = 0L,
+          edgesByDst: Option[DataFrame] = None): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
     var continue = true
     while (continue && it < maxIterations) {
-      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots)
-      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots)
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst)
       // drop the persisted blocks of superseded intermediate states
       // (never the caller's state0 and never what we return)
       if ((a.state ne state) && (a.state ne b.state)) PlanUtils.release(a.state)

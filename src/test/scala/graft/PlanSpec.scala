@@ -82,6 +82,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(1200))
   }
 
+  test("leiden dst-cache gather: the O(E) side has no Exchange and no Sort") {
+    // the zero-E-exchange sweep plan: edges cached hash-partitioned by dst
+    // scan in place; only the O(V) membership shuffles (one Exchange), the
+    // mover prune broadcasts, and the shuffle-hash hint keeps the E side
+    // un-sorted (hint-less SMJ would re-sort all E rows every half-sweep)
+    val edges = spark.range(0, 20000).select(
+      (col("id") % 997).as("src"), (col("id") % 613).as("dst"),
+      lit(1.0).as("w"))
+    val edst = edges.repartition(col("dst")).cache()
+    edst.count()
+    val movers = spark.range(0, 400).select(col("id").as("src"))
+    val mdBase = spark.range(0, 997).select(
+      col("id").as("dst"), (col("id") % 7).as("cdst"))
+    val plan = graft.leiden.LocalMove.dstGather(edst, movers, mdBase, 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    // exactly ONE join-induced shuffle (ENSURE_REQUIREMENTS): the O(V)
+    // membership side. The cache-build REPARTITION_BY_COL exchange inside
+    // the InMemoryRelation render doesn't count — it ran once at cache
+    // time. If the E side needed an exchange it would be a second
+    // ENSURE_REQUIREMENTS here.
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")) === 1,
+      plan.take(1500))
+    edst.unpersist()
+  }
+
   test("d_minhash_pairs: the returned plan reads materialized jaccard (no shingle recompute above the filter)") {
     val plan = SparkEntry.queries("d_minhash_pairs")(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -64,6 +64,33 @@ class LeidenSpec extends SparkSpec {
     assert(r.membership.except(r2.membership).count() === 0L)
   }
 
+  test("dst-cache sweep path equals the legacy sweep exactly") {
+    // the zero-E-exchange gather (LocalMove.sweep edgesByDst) must pick the
+    // identical moves as the legacy mover-pruned join on a non-trivial
+    // graph — both parities, from a non-singleton blocked state
+    val rnd = new Random(7)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 400; b <- a + 1 until 400)
+      if (rnd.nextDouble() < (if ((a / 40) == (b / 40)) 0.25 else 0.01))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result()).cache()
+    val edst = edges.repartition(col("dst")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val st0 = EdgeTable.vertexWeights(edges)
+      .select(col("id"), pmod(col("id"), lit(16)).as("comm"), col("vtot"),
+        lit(true).as("aff"))
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parity <- 0 to 1) {
+      val legacy = LocalMove.sweep(edges, st0, m, 1.0, parity)
+      val viaDst = LocalMove.sweep(edges, st0, m, 1.0, parity,
+        edgesByDst = Some(edst))
+      assert(viaDst.moves === legacy.moves, s"parity=$parity")
+      assert(memb(viaDst.state) === memb(legacy.state), s"parity=$parity")
+    }
+    edst.unpersist(); edges.unpersist()
+  }
+
   test("P4 local first pass: deterministic shuffle-free seed, full run still exact") {
     // SBM fixture (same as the golden test)
     val rnd = new Random(42)
