@@ -53,7 +53,8 @@ object Bench {
     * from the same materialized post-warmup state).
     */
   def leidenSuperstepThroughput(spark: SparkSession, nVerts: Long, iters: Int,
-                                reps: Int = 3): (Double, Long, Double) = {
+                                reps: Int = 3,
+                                broadcastCtOverride: Option[Boolean] = None): (Double, Long, Double) = {
     val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
     val e = edges.count()
     // the dst-partitioned twin makes the measured half-sweeps the
@@ -66,15 +67,17 @@ object Bench {
     val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
     // warmup half-sweep primes codegen + the edge caches; its materialized
     // result is the FIXED starting state of every repetition
-    val warm = LocalMove.sweep(edges, init, m, 1.0, 0, edgesByDst = byDst).state
+    val bcCt = broadcastCtOverride.getOrElse(nVerts <= LocalMove.CtBroadcastMax)
+    val warm = LocalMove.sweep(edges, init, m, 1.0, 0, edgesByDst = byDst,
+      broadcastCt = bcCt, vertexCountHint = nVerts).state
     var bestSecs = Double.MaxValue
     for (_ <- 1 to reps) {
       var state = warm
       val t0 = System.nanoTime()
       var done = 0
       while (done < iters) {
-        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1, edgesByDst = byDst).state
-        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0, edgesByDst = byDst).state
+        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts).state
+        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts).state
         if ((state ne warm) && (state ne s1) && (state ne s2)) PlanUtils.release(state)
         if ((s1 ne warm) && (s1 ne s2)) PlanUtils.release(s1)
         state = s2
@@ -414,20 +417,29 @@ object Bench {
           var hi = point(4)
           // Contention retries, bounded by count AND the wall budget; a
           // measurement is never discarded upward — only the fastest
-          // observation of the SAME deterministic job survives:
-          //   - eff > 1.05 on a 4x step is physically meaningless => the lo
-          //     point ran contended; remeasure lo, keep fastest.
-          //   - eff < 0.75 with a clean (>0.9) hardware ceiling means the
-          //     HI point hit a co-tenant window (round-3 measured 0.788
-          //     clean vs 0.605 contended for identical work); remeasure hi,
-          //     keep fastest. With a contended ceiling the number is
-          //     honest for this window — no retry will beat the box.
+          // observation of the SAME deterministic job survives. The
+          // contention gauge is the IN-WINDOW bare-ALU witness each point
+          // reports from inside its own executor JVMs (aluEff = per-window
+          // 4x-step core delivery), not the phase-2 ceiling — round 4
+          // measured a 0.906 start-of-bench ceiling while the hi point's
+          // own window delivered 0.53, and the stale gate retried the
+          // wrong thing:
+          //   - legEff/aluEff > 1.05 on a 4x step is physically
+          //     meaningless => the LO point ran contended; remeasure lo.
+          //   - aluEff < 0.8 => the HI window got starved of cores by a
+          //     co-tenant; remeasure hi.
+          //   - legEff < 0.75 with fair windows and a clean ceiling: one
+          //     more hi attempt covers shuffle-timing variance, then the
+          //     number is honest for this box.
           def legEff = (for ((_, _, l, _) <- lo; (_, _, h, _) <- hi)
             yield h / l / 4.0).getOrElse(0.0)
+          def aluEff = (for ((l, _, _, _) <- lo; (h, _, _, _) <- hi)
+            yield h / l / 4.0).getOrElse(1.0)
           var tries = 0
-          while (tries < 2 && lo.isDefined && hi.isDefined && remaining > 420 &&
-                 (legEff > 1.05 || (legEff < 0.75 && hwEff > 0.9))) {
-            if (legEff > 1.05) {
+          while (tries < 4 && lo.isDefined && hi.isDefined && remaining > 420 &&
+                 (legEff > 1.05 || aluEff > 1.05 || aluEff < 0.8 ||
+                  (legEff < 0.75 && hwEff > 0.9 && tries < 1))) {
+            if (legEff > 1.05 || aluEff > 1.05) {
               val l2 = point(1)
               for (a <- l2; b <- lo) if (a._3 > b._3) lo = l2
               if (lo.isEmpty) lo = l2

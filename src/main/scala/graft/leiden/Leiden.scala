@@ -181,10 +181,13 @@ object Leiden {
       // (one exchange), dropped before refinement (the bound path cannot
       // use it).
       val edgesByDst = edges.repartition(col("dst")).cache()
+      // C ≤ V = gn, so the community-totals broadcast is safe whenever the
+      // pass's vertex count fits the cap (LocalMove.CtBroadcastMax)
+      val bcCt = gn <= LocalMove.CtBroadcastMax
       val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
         LocalMove.run(edges, state0, m, opts.resolution,
           tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
-          edgesByDst = Some(edgesByDst))
+          edgesByDst = Some(edgesByDst), broadcastCt = bcCt, vertexCountHint = gn)
       }
       edgesByDst.unpersist(blocking = false)
 
@@ -195,7 +198,7 @@ object Leiden {
       val (refined, rIters, rMoves) = timed("refine") {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
           tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
-          sketchSlots = slots, minMoves = minMoves)
+          sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt)
       }
       val iters = lIters + rIters
       totalIters += math.max(iters, 1)

@@ -47,6 +47,15 @@ object LocalMove {
     */
   val BroadcastMoverMax: Long = 8000000L
 
+  /** Vertex-count cap for broadcasting the community-totals table. C ≤ V
+    * always, so gating on V is safe without counting communities per
+    * half-sweep. 4M rows × ~28 B ≈ 112 MB — inside every executor size
+    * this engine targets. Above it (10^9-vertex pass-0 web graphs) the
+    * totals join stays a shuffle and AQE broadcasts it on its own once
+    * coarsening shrinks C.
+    */
+  val CtBroadcastMax: Long = 4000000L
+
   /** The zero-E-exchange gather plan (exposed for the PlanSpec pin): scan
     * the dst-partitioned edge cache in place, prune to this half-sweep's
     * movers with a broadcast semi-join, and probe the O(V) membership with
@@ -86,8 +95,22 @@ object LocalMove {
   def sweep(edges: DataFrame, state: DataFrame, m: Double, resolution: Double,
             parity: Int, bound: Option[DataFrame] = None,
             refineSingletons: Boolean = false, sketchSlots: Int = 0,
-            edgesByDst: Option[DataFrame] = None): SweepResult = {
-    val ct = communityTotals(state)
+            edgesByDst: Option[DataFrame] = None,
+            broadcastCt: Boolean = false,
+            vertexCountHint: Long = -1L): SweepResult = {
+    // With `broadcastCt` (caller guarantees V ≤ CtBroadcastMax, so C fits
+    // a broadcast) the community-totals table ships to executors instead
+    // of shuffling: the candidate stream — O(E)-row in early supersteps,
+    // when map-side combine can't compress singleton-community neighbors —
+    // then crosses the wire twice (gather agg + the src-keyed constants
+    // join the argmax reuses) instead of three times, and both O(V)
+    // totals exchanges disappear. Identical results either way; only the
+    // physical join strategy changes. Both consumers (mover constants,
+    // candidate targets) join the SAME aliased plan so the exchange —
+    // broadcast or shuffle — is built once and the second use is a
+    // ReusedExchange, not a second aggregation of the state.
+    val ct0 = communityTotals(state)
+    val ct = if (broadcastCt) broadcast(ct0) else ct0
 
     val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
 
@@ -98,8 +121,9 @@ object LocalMove {
     // aggregation — no wud self-join, no post-argmax community-total join.
     var moverInfo = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
       .select(col("id").as("src"), col("comm").as("ccur"), col("vtot").as("vtot_u"))
-      .join(ct.select(col("comm").as("ccur"), col("ctot").as("ctot_d"),
-        col("csize").as("csize_d")), "ccur")
+      .join(ct.as("ctd"), col("ccur") === col("ctd.comm"))
+      .select(col("src"), col("ccur"), col("vtot_u"),
+        col("ctd.ctot").as("ctot_d"), col("ctd.csize").as("csize_d"))
     if (refineSingletons)
       // REFINE: only still-singleton vertices scan at all
       // (/root/reference/inc/leiden.hxx:422)
@@ -107,16 +131,22 @@ object LocalMove {
 
     // Zero-E-exchange gather (scaladoc above): dst-cache scan + broadcast
     // mover prune, when the dst cache is supplied, no bound restricts the
-    // scan, and this half-sweep's movers fit a broadcast. The mover count
-    // is one cheap scan of the materialized state.
+    // scan, and this half-sweep's movers fit a broadcast. A caller-supplied
+    // vertex-count hint proves the fit for free (movers ≤ V/2 per parity);
+    // without one, the mover count is one cheap scan of the materialized
+    // state — and a zero count short-circuits the whole sweep.
     var dstScan: Option[DataFrame] = None
     var moverCount = -1L
     if (edgesByDst.isDefined && bound.isEmpty) {
       val movers = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
         .select(col("id").as("src"))
-      moverCount = movers.count()
-      if (moverCount > 0 && moverCount <= BroadcastMoverMax)
+      if (vertexCountHint >= 0 && vertexCountHint <= 2 * BroadcastMoverMax)
         dstScan = Some(dstGather(edgesByDst.get, movers, mdBase, parity))
+      else {
+        moverCount = movers.count()
+        if (moverCount > 0 && moverCount <= BroadcastMoverMax)
+          dstScan = Some(dstGather(edgesByDst.get, movers, mdBase, parity))
+      }
     }
     if (moverCount == 0) return SweepResult(state, 0L, 0.0)
 
@@ -170,8 +200,6 @@ object LocalMove {
           .groupBy("src", "cdst").agg(sum("w").as("wuc"))
       }
 
-    val ctTgt = ct.select(col("comm").as("cdst"), col("ctot").as("ctot_c"), col("csize").as("csize_c"))
-
     // Per-candidate delta-Q part: dq = score_c - wud/M - R*vtot*(vtot-ctot_d)/(2M^2)
     // with score_c = wuc/M - R*vtot*ctot_c/(2M^2). The subtraction is a
     // per-vertex constant, so argmax over score_c == argmax over dq, with
@@ -179,7 +207,9 @@ object LocalMove {
     // THEN the mover constants (src key) — the final argmax groups by src,
     // so the last exchange and the aggregation share the src partitioning.
     val scored = cand
-      .join(ctTgt, "cdst")
+      .join(ct.as("ctc"), col("cdst") === col("ctc.comm"))
+      .select(col("src"), col("cdst"), col("wuc"),
+        col("ctc.ctot").as("ctot_c"), col("ctc.csize").as("csize_c"))
       .join(moverInfo, "src")
       .withColumn("score",
         col("wuc") / lit(m) -
@@ -225,13 +255,27 @@ object LocalMove {
     // (Leiden's input contract), so "srcs of edges INTO moved" equals
     // "dsts of edges FROM moved" — join on src, which reuses the edge
     // cache's src-hash partitioning instead of shuffling all E rows by dst.
-    val movedSrc = best.select(col("id").as("src"))
+    // nMoves is already known here, so the moved set broadcasts whenever it
+    // fits (same cap as the mover prune): the edge scan stays cache-local
+    // with zero exchange, and the state update's moved-side join sheds one
+    // of its two O(V) id exchanges. distinct()'s partial aggregation is the
+    // best available compressor for the neighbor stream — it dedups per
+    // partition before the single id exchange.
+    val bestFits = nMoves <= BroadcastMoverMax
+    val movedSrc = {
+      val r = best.select(col("id").as("src"))
+      if (bestFits) broadcast(r) else r
+    }
     val affNext = edges.join(movedSrc, "src").select(col("dst").as("id")).distinct()
       .withColumn("affN", lit(true))
+    val bestSel = {
+      val b = best.select("id", "newcomm")
+      if (bestFits) broadcast(b) else b
+    }
 
     val next = PlanUtils.checkpointTruncated(
       state
-        .join(best.select("id", "newcomm"), Seq("id"), "left")
+        .join(bestSel, Seq("id"), "left")
         .join(affNext, Seq("id"), "left")
         .select(
           col("id"),
@@ -259,14 +303,16 @@ object LocalMove {
           bound: Option[DataFrame] = None,
           refineSingletons: Boolean = false, sketchSlots: Int = 0,
           minMoves: Long = 0L,
-          edgesByDst: Option[DataFrame] = None): (DataFrame, Int, Long) = {
+          edgesByDst: Option[DataFrame] = None,
+          broadcastCt: Boolean = false,
+          vertexCountHint: Long = -1L): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
     var continue = true
     while (continue && it < maxIterations) {
-      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst)
-      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst)
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint)
       // drop the persisted blocks of superseded intermediate states
       // (never the caller's state0 and never what we return)
       if ((a.state ne state) && (a.state ne b.state)) PlanUtils.release(a.state)

@@ -85,8 +85,12 @@ class LeidenSpec extends SparkSpec {
       val legacy = LocalMove.sweep(edges, st0, m, 1.0, parity)
       val viaDst = LocalMove.sweep(edges, st0, m, 1.0, parity,
         edgesByDst = Some(edst))
+      val viaBc = LocalMove.sweep(edges, st0, m, 1.0, parity,
+        edgesByDst = Some(edst), broadcastCt = true)
       assert(viaDst.moves === legacy.moves, s"parity=$parity")
       assert(memb(viaDst.state) === memb(legacy.state), s"parity=$parity")
+      assert(viaBc.moves === legacy.moves, s"bc parity=$parity")
+      assert(memb(viaBc.state) === memb(legacy.state), s"bc parity=$parity")
     }
     edst.unpersist(); edges.unpersist()
   }
