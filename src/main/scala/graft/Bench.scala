@@ -54,30 +54,37 @@ object Bench {
     */
   def leidenSuperstepThroughput(spark: SparkSession, nVerts: Long, iters: Int,
                                 reps: Int = 3,
-                                broadcastCtOverride: Option[Boolean] = None): (Double, Long, Double) = {
-    val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts)).cache()
+                                broadcastCtOverride: Option[Boolean] = None,
+                                membershipOverride: Option[Boolean] = None): (Double, Long, Double) = {
+    // src-partitioned main cache, exactly as Leiden.detect builds it
+    val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts))
+      .repartition(col("src")).cache()
     val e = edges.count()
-    // the dst-partitioned twin makes the measured half-sweeps the
-    // production zero-E-exchange plan (exactly what Leiden.detect runs)
-    val edst = edges.repartition(col("dst")).cache()
-    edst.count()
-    val byDst = Some(edst)
+    val bcCt = broadcastCtOverride.getOrElse(nVerts <= LocalMove.CtBroadcastMax)
+    // membership broadcast ⇒ the measured half-sweeps run the production
+    // zero-candidate-exchange srcGather plan and need no dst twin at all;
+    // otherwise build the dst twin and measure the dstGather tier
+    val bcMd = membershipOverride.getOrElse(bcCt)
+    val byDst = if (bcMd) None else {
+      val edst = edges.repartition(col("dst")).cache()
+      edst.count()
+      Some(edst)
+    }
     val m = EdgeTable.totalWeight(edges) / 2
     val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
     val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
     // warmup half-sweep primes codegen + the edge caches; its materialized
     // result is the FIXED starting state of every repetition
-    val bcCt = broadcastCtOverride.getOrElse(nVerts <= LocalMove.CtBroadcastMax)
     val warm = LocalMove.sweep(edges, init, m, 1.0, 0, edgesByDst = byDst,
-      broadcastCt = bcCt, vertexCountHint = nVerts).state
+      broadcastCt = bcCt, vertexCountHint = nVerts, broadcastMembership = bcMd).state
     var bestSecs = Double.MaxValue
     for (_ <- 1 to reps) {
       var state = warm
       val t0 = System.nanoTime()
       var done = 0
       while (done < iters) {
-        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts).state
-        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts).state
+        val s1 = LocalMove.sweep(edges, state, m, 1.0, 1, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts, broadcastMembership = bcMd).state
+        val s2 = LocalMove.sweep(edges, s1, m, 1.0, 0, edgesByDst = byDst, broadcastCt = bcCt, vertexCountHint = nVerts, broadcastMembership = bcMd).state
         if ((state ne warm) && (state ne s1) && (state ne s2)) PlanUtils.release(state)
         if ((s1 ne warm) && (s1 ne s2)) PlanUtils.release(s1)
         state = s2
@@ -88,7 +95,7 @@ object Bench {
     }
     PlanUtils.release(warm)
     PlanUtils.release(vtot)
-    edst.unpersist()
+    byDst.foreach(_.unpersist())
     edges.unpersist()
     (e.toDouble * iters / bestSecs, e, bestSecs)
   }

@@ -175,21 +175,23 @@ object Leiden {
         } else singletonState(vtot)
       }
 
-      // 1. local moving — with a dst-partitioned twin of this pass's edge
-      // cache, so every main-phase half-sweep gathers without exchanging
-      // the O(E) stream (LocalMove.sweep scaladoc). Built once per pass
-      // (one exchange), dropped before refinement (the bound path cannot
-      // use it).
-      val edgesByDst = edges.repartition(col("dst")).cache()
-      // C ≤ V = gn, so the community-totals broadcast is safe whenever the
-      // pass's vertex count fits the cap (LocalMove.CtBroadcastMax)
+      // 1. local moving. C ≤ V = gn, so whenever the pass's vertex count
+      // fits the cap (LocalMove.CtBroadcastMax) BOTH the community-totals
+      // table and the full membership broadcast safely — the half-sweeps
+      // then run on the zero-candidate-exchange srcGather plan over the
+      // main src-partitioned cache, and no dst-partitioned twin is needed
+      // at all (saving its once-per-pass O(E) exchange + cache). Above the
+      // cap (pass 0 of a 10^10-vertex web graph), build the dst twin once
+      // and gather via the dstGather plan (LocalMove.sweep scaladoc).
       val bcCt = gn <= LocalMove.CtBroadcastMax
+      val edgesByDst = if (bcCt) None else Some(edges.repartition(col("dst")).cache())
       val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
         LocalMove.run(edges, state0, m, opts.resolution,
           tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
-          edgesByDst = Some(edgesByDst), broadcastCt = bcCt, vertexCountHint = gn)
+          edgesByDst = edgesByDst, broadcastCt = bcCt, vertexCountHint = gn,
+          broadcastMembership = bcCt)
       }
-      edgesByDst.unpersist(blocking = false)
+      edgesByDst.foreach(_.unpersist(blocking = false))
 
       // 2. refinement: bound = post-move membership; re-init singletons
       val bound = PlanUtils.checkpointTruncated(
@@ -198,7 +200,8 @@ object Leiden {
       val (refined, rIters, rMoves) = timed("refine") {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
           tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
-          sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt)
+          sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt,
+          broadcastMembership = bcCt)
       }
       val iters = lIters + rIters
       totalIters += math.max(iters, 1)

@@ -71,6 +71,51 @@ object LocalMove {
       .join(mdBase.hint("shuffle_hash"), "dst")
       .select(col("src"), col("cdst"), col("w"))
 
+  /** The ZERO-candidate-exchange gather (exposed for the PlanSpec pin):
+    * scan the MAIN src-partitioned edge cache in place and resolve
+    * comm(dst) by BROADCASTING the whole O(V) membership (16 B/vertex;
+    * gated by the caller on V ≤ CtBroadcastMax). Both joins are broadcasts,
+    * so the scan output keeps the cache's src-hash partitioning — and
+    * because checkpointTruncated (PlanUtils) preserves the state's id-hash
+    * partitioning, everything downstream of this gather is partition-local
+    * too: groupBy(src,cdst) needs no exchange (src-hash satisfies the
+    * clustering), the mover-constants join arrives co-partitioned from the
+    * state projection, and the final argmax groups by the same src
+    * partitioning. Per half-sweep the candidate stream — O(E)-row in early
+    * supersteps — crosses the wire ZERO times, vs twice on the dst path
+    * and three times legacy. Above the V cap (pass-0 of a 10^10-vertex web
+    * graph) the caller falls back to the dst-cache path, whose per-sweep
+    * exchanges are O(V) membership + O(candidates).
+    */
+  private[graft] def srcGather(edgesBySrc: DataFrame, movers: DataFrame,
+                                mdBase: DataFrame, parity: Int): DataFrame =
+    edgesBySrc
+      .filter(col("src") =!= col("dst") && pmod(col("src"), lit(2)) === parity)
+      .join(broadcast(movers), Seq("src"), "left_semi")
+      .join(broadcast(mdBase), "dst")
+      .select(col("src"), col("cdst"), col("w"))
+
+  /** The bound-restricted (refinement) twin of [[srcGather]]: the refine
+    * scan only counts neighbors in the same bound community
+    * (`/root/reference/inc/leiden.hxx:257`), which needs BOTH endpoints'
+    * bounds on the edge row before aggregation — the legacy plan exchanges
+    * the O(E) stream by dst for that. Here the mover side arrives with its
+    * bound already attached (`moverBs`: src, bsrc) and the dst side's
+    * membership and bound both BROADCAST, so the refine candidate stream
+    * is as exchange-free as the main phase's. Same V ≤ CtBroadcastMax gate
+    * (the bound table is O(V), 16 B/vertex).
+    */
+  private[graft] def srcGatherBound(edgesBySrc: DataFrame, moverBs: DataFrame,
+                                     mdBase: DataFrame, bd: DataFrame,
+                                     parity: Int): DataFrame =
+    edgesBySrc
+      .filter(col("src") =!= col("dst") && pmod(col("src"), lit(2)) === parity)
+      .join(broadcast(moverBs), "src")
+      .join(broadcast(mdBase), "dst")
+      .join(broadcast(bd), "dst")
+      .filter(col("bsrc") === col("bdst"))
+      .select(col("src"), col("cdst"), col("w"))
+
   /** One synchronous half-sweep over vertices with id % 2 == parity.
     *
     * `bound` restricts scanning to same-bound neighbors (the refinement
@@ -97,7 +142,8 @@ object LocalMove {
             refineSingletons: Boolean = false, sketchSlots: Int = 0,
             edgesByDst: Option[DataFrame] = None,
             broadcastCt: Boolean = false,
-            vertexCountHint: Long = -1L): SweepResult = {
+            vertexCountHint: Long = -1L,
+            broadcastMembership: Boolean = false): SweepResult = {
     // With `broadcastCt` (caller guarantees V ≤ CtBroadcastMax, so C fits
     // a broadcast) the community-totals table ships to executors instead
     // of shuffling: the candidate stream — O(E)-row in early supersteps,
@@ -137,7 +183,24 @@ object LocalMove {
     // state — and a zero count short-circuits the whole sweep.
     var dstScan: Option[DataFrame] = None
     var moverCount = -1L
-    if (edgesByDst.isDefined && bound.isEmpty) {
+    if (broadcastMembership) {
+      // caller guarantees V ≤ CtBroadcastMax, so the membership broadcast
+      // and the (≤ V/2-row) mover broadcast both fit with no count job
+      bound match {
+        case None =>
+          val movers = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
+            .select(col("id").as("src"))
+          dstScan = Some(srcGather(edges, movers, mdBase, parity))
+        case Some(b) =>
+          // refine: movers carry their own bound (the moverInfo-filtered
+          // set — during refine only still-singleton vertices scan at all,
+          // so the prune is EXACT here, not a superset)
+          val moverBs = moverInfo.select("src")
+            .join(b.select(col("id").as("src"), col("bound").as("bsrc")), "src")
+          val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
+          dstScan = Some(srcGatherBound(edges, moverBs, mdBase, bd, parity))
+      }
+    } else if (edgesByDst.isDefined && bound.isEmpty) {
       val movers = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
         .select(col("id").as("src"))
       if (vertexCountHint >= 0 && vertexCountHint <= 2 * BroadcastMoverMax)
@@ -210,7 +273,12 @@ object LocalMove {
       .join(ct.as("ctc"), col("cdst") === col("ctc.comm"))
       .select(col("src"), col("cdst"), col("wuc"),
         col("ctc.ctot").as("ctot_c"), col("ctc.csize").as("csize_c"))
-      .join(moverInfo, "src")
+      // shuffle_hash: BUILD the O(V/2) mover-constants side and STREAM the
+      // candidates — a hint-less plan picks sort-merge and sorts the whole
+      // candidate stream every half-sweep (no exchange either way: both
+      // sides are already src-partitioned on the srcGather path, and the
+      // legacy path's exchange here is the one the argmax reuses).
+      .join(moverInfo.hint("shuffle_hash"), "src")
       .withColumn("score",
         col("wuc") / lit(m) -
           lit(resolution) * col("vtot_u") * col("ctot_c") / lit(2 * m * m))
@@ -305,14 +373,15 @@ object LocalMove {
           minMoves: Long = 0L,
           edgesByDst: Option[DataFrame] = None,
           broadcastCt: Boolean = false,
-          vertexCountHint: Long = -1L): (DataFrame, Int, Long) = {
+          vertexCountHint: Long = -1L,
+          broadcastMembership: Boolean = false): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
     var continue = true
     while (continue && it < maxIterations) {
-      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint)
-      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint)
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership)
       // drop the persisted blocks of superseded intermediate states
       // (never the caller's state0 and never what we return)
       if ((a.state ne state) && (a.state ne b.state)) PlanUtils.release(a.state)

@@ -111,6 +111,45 @@ class PlanSpec extends SparkSpec {
     edst.unpersist()
   }
 
+  test("leiden src-cache gather: candidate stream crosses ZERO exchanges from scan to argmax") {
+    // the membership-broadcast sweep plan (V ≤ CtBroadcastMax tier): both
+    // gather joins broadcast, so the scan keeps the main cache's src-hash
+    // partitioning; groupBy(src,cdst) aggregates in place (src-hash
+    // satisfies the clustering); the mover-constants side arrives
+    // co-partitioned from the checkpointTruncated state (PlanUtils keeps
+    // the materialized partitioning); the final argmax groups by the same
+    // src partitioning. NO join- or agg-induced exchange anywhere.
+    import org.apache.spark.sql.graft.PlanUtils
+    val edges = spark.range(0, 20000).select(
+      (col("id") % 997).as("src"), (col("id") % 613).as("dst"),
+      lit(1.0).as("w")).repartition(col("src")).cache()
+    edges.count()
+    // explicit partition count: REPARTITION_BY_NUM is not AQE-coalescible,
+    // so the pin tests the mechanism (checkpointTruncated carries the
+    // partitioning) rather than AQE's small-data coalescing. In production
+    // AQE may coalesce the tiny state and re-expand the O(V/2) mover side —
+    // the candidate stream stays exchange-free either way.
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val state = PlanUtils.checkpointTruncated(
+      spark.range(0, 997).repartition(shuffleParts, col("id"))
+        .select(col("id"), (col("id") % 7).as("comm"), lit(1.0).as("vtot"),
+          lit(true).as("aff")))
+    val movers = state.filter(col("aff")).select(col("id").as("src"))
+    val mdBase = state.select(col("id").as("dst"), col("comm").as("cdst"))
+    val moverInfo = state.select(col("id").as("src"), col("comm").as("ccur"))
+    val best = graft.leiden.LocalMove.srcGather(edges, movers, mdBase, 0)
+      .groupBy("src", "cdst").agg(sum("w").as("wuc"))
+      .join(moverInfo.hint("shuffle_hash"), "src")
+      .groupBy("src").agg(max("wuc").as("best"))
+    val plan = best.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange") && l.contains("ENSURE_REQUIREMENTS")) === 0,
+      plan)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    edges.unpersist()
+    PlanUtils.release(state)
+  }
+
   test("d_minhash_pairs: the returned plan reads materialized jaccard (no shingle recompute above the filter)") {
     val plan = SparkEntry.queries("d_minhash_pairs")(spark, sf)
       .queryExecution.optimizedPlan.toString
