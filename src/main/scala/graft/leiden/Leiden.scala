@@ -184,12 +184,20 @@ object Leiden {
       // cap (pass 0 of a 10^10-vertex web graph), build the dst twin once
       // and gather via the dstGather plan (LocalMove.sweep scaladoc).
       val bcCt = gn <= LocalMove.CtBroadcastMax
+      // Frontier-bitmap tier gate (FrontierBits scaladoc): dense-enough id
+      // space, checked against the pass's actual max id (one tiny job over
+      // the checkpointed vtot). Post-aggregation passes are renumbered
+      // dense, so this holds for every pass but possibly the raw pass 0.
+      val maxId: Long =
+        if (bcCt) vtot.agg(max(col("id"))).head.getLong(0) else Long.MaxValue
+      val fBits: Int =
+        if (bcCt && maxId + 1 <= LocalMove.FrontierBitsMax) (maxId + 1).toInt else 0
       val edgesByDst = if (bcCt) None else Some(edges.repartition(col("dst")).cache())
       val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
         LocalMove.run(edges, state0, m, opts.resolution,
           tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
           edgesByDst = edgesByDst, broadcastCt = bcCt, vertexCountHint = gn,
-          broadcastMembership = bcCt)
+          broadcastMembership = bcCt, frontierBits = fBits)
       }
       edgesByDst.foreach(_.unpersist(blocking = false))
 
@@ -201,7 +209,7 @@ object Leiden {
         LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
           tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
           sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt,
-          broadcastMembership = bcCt)
+          broadcastMembership = bcCt, frontierBits = fBits)
       }
       val iters = lIters + rIters
       totalIters += math.max(iters, 1)

@@ -2,7 +2,7 @@ package graft.leiden
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.PlanUtils
+import org.apache.spark.sql.graft.{NativeColumns, PlanUtils}
 
 /** The Leiden local-moving phase as synchronous Catalyst supersteps.
   *
@@ -33,7 +33,12 @@ object LocalMove {
   /** Dev-only tracing of per-sweep cost (plan sizes, timings). */
   @volatile var debug: Boolean = false
 
-  case class SweepResult(state: DataFrame, moves: Long, dqSum: Double)
+  /** `affBits` rides along only on the bitmap-frontier path (see
+    * [[FrontierBits]]): the returned state's `aff` column and the bitmap
+    * always agree bit-for-bit.
+    */
+  case class SweepResult(state: DataFrame, moves: Long, dqSum: Double,
+                         affBits: Option[Array[Byte]] = None)
 
   /** Community totals from state: (comm, ctot, csize). */
   def communityTotals(state: DataFrame): DataFrame =
@@ -55,6 +60,15 @@ object LocalMove {
     * coarsening shrinks C.
     */
   val CtBroadcastMax: Long = 4000000L
+
+  /** Max-id bound (exclusive) for the frontier-bitmap tier — 2^26 ids =
+    * an 8 MB bitmap, fine as a plan literal (it rides each stage's task
+    * binary broadcast once per executor). The gate is on MAX ID, not
+    * vertex count: a bitmap addresses the id space directly, so sparse id
+    * spaces above the bound fall back to the aff-column path even when the
+    * vertex COUNT fits CtBroadcastMax.
+    */
+  val FrontierBitsMax: Long = 1L << 26
 
   /** The zero-E-exchange gather plan (exposed for the PlanSpec pin): scan
     * the dst-partitioned edge cache in place, prune to this half-sweep's
@@ -116,6 +130,38 @@ object LocalMove {
       .filter(col("bsrc") === col("bdst"))
       .select(col("src"), col("cdst"), col("w"))
 
+  /** [[srcGather]] with the mover prune as a frontier-bitmap literal filter
+    * instead of a broadcast semi-join (see [[FrontierBits]]): same rows,
+    * zero driver-side relation build, and the predicate runs inside the
+    * scan's whole-stage codegen. The remaining broadcast is the O(V)
+    * membership.
+    */
+  private[graft] def srcGatherBits(edgesBySrc: DataFrame, affBits: Array[Byte],
+                                    mdBase: DataFrame, parity: Int): DataFrame =
+    edgesBySrc
+      .filter(col("src") =!= col("dst") && pmod(col("src"), lit(2)) === parity &&
+        NativeColumns.bitsetContains(lit(affBits), col("src")))
+      .join(broadcast(mdBase), "dst")
+      .select(col("src"), col("cdst"), col("w"))
+
+  /** Bitmap twin of [[srcGatherBound]]: the refine scan prune is the
+    * frontier bitmap (a SUPERSET of the exact still-singleton mover set —
+    * exactness is enforced by the moverInfo join downstream, same contract
+    * as the main phase), and the src-side bound arrives by broadcast
+    * instead of riding a mover join.
+    */
+  private[graft] def srcGatherBoundBits(edgesBySrc: DataFrame, affBits: Array[Byte],
+                                         mdBase: DataFrame, bs: DataFrame,
+                                         bd: DataFrame, parity: Int): DataFrame =
+    edgesBySrc
+      .filter(col("src") =!= col("dst") && pmod(col("src"), lit(2)) === parity &&
+        NativeColumns.bitsetContains(lit(affBits), col("src")))
+      .join(broadcast(bs), "src")
+      .join(broadcast(mdBase), "dst")
+      .join(broadcast(bd), "dst")
+      .filter(col("bsrc") === col("bdst"))
+      .select(col("src"), col("cdst"), col("w"))
+
   /** One synchronous half-sweep over vertices with id % 2 == parity.
     *
     * `bound` restricts scanning to same-bound neighbors (the refinement
@@ -143,7 +189,20 @@ object LocalMove {
             edgesByDst: Option[DataFrame] = None,
             broadcastCt: Boolean = false,
             vertexCountHint: Long = -1L,
-            broadcastMembership: Boolean = false): SweepResult = {
+            broadcastMembership: Boolean = false,
+            affBits: Option[Array[Byte]] = None): SweepResult = {
+    // Frontier-bitmap tier (affBits set — implies broadcastMembership and
+    // dense ids; see FrontierBits): an empty frontier at this parity is
+    // known on the driver for free, and running the sweep would change
+    // nothing (no movers => no moves => state returned unchanged).
+    if (affBits.exists(FrontierBits.isEmpty(_, parity)))
+      return SweepResult(state, 0L, 0.0, affBits)
+    // The state's aff predicate: the bitmap literal when present (exact
+    // same set — the state column and bitmap are maintained in lockstep),
+    // the aff column otherwise.
+    def affPred(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      affBits.map(b => NativeColumns.bitsetContains(lit(b), id))
+        .getOrElse(col("aff"))
     // With `broadcastCt` (caller guarantees V ≤ CtBroadcastMax, so C fits
     // a broadcast) the community-totals table ships to executors instead
     // of shuffling: the candidate stream — O(E)-row in early supersteps,
@@ -165,7 +224,7 @@ object LocalMove {
     // candidates, so joining them onto the O(V) mover side up front lets
     // the candidate scoring, swap guard, and argmax all happen in ONE
     // aggregation — no wud self-join, no post-argmax community-total join.
-    var moverInfo = state.filter(col("aff") && pmod(col("id"), lit(2)) === parity)
+    var moverInfo = state.filter(affPred(col("id")) && pmod(col("id"), lit(2)) === parity)
       .select(col("id").as("src"), col("comm").as("ccur"), col("vtot").as("vtot_u"))
       .join(ct.as("ctd"), col("ccur") === col("ctd.comm"))
       .select(col("src"), col("ccur"), col("vtot_u"),
@@ -183,7 +242,17 @@ object LocalMove {
     // state — and a zero count short-circuits the whole sweep.
     var dstScan: Option[DataFrame] = None
     var moverCount = -1L
-    if (broadcastMembership) {
+    if (affBits.isDefined) {
+      val bits = affBits.get
+      bound match {
+        case None =>
+          dstScan = Some(srcGatherBits(edges, bits, mdBase, parity))
+        case Some(b) =>
+          val bs = b.select(col("id").as("src"), col("bound").as("bsrc"))
+          val bd = b.select(col("id").as("dst"), col("bound").as("bdst"))
+          dstScan = Some(srcGatherBoundBits(edges, bits, mdBase, bs, bd, parity))
+      }
+    } else if (broadcastMembership) {
       // caller guarantees V ≤ CtBroadcastMax, so the membership broadcast
       // and the (≤ V/2-row) mover broadcast both fit with no count job
       bound match {
@@ -310,12 +379,44 @@ object LocalMove {
         .filter(col("mdq") > 0)
         .select(col("src").as("id"), col("mx.best").as("newcomm"), col("mdq")))
 
-    val stats = best.agg(count(lit(1)), coalesce(sum("mdq"), lit(0.0))).head
+    // On the bitmap path the moved-vertex bitmap rides the SAME stats job
+    // (one scan of the cached best instead of two).
+    val stats = affBits match {
+      case Some(bits) => best.agg(count(lit(1)), coalesce(sum("mdq"), lit(0.0)),
+        NativeColumns.bitsetOr(col("id"), bits.length * 8)).head
+      case None => best.agg(count(lit(1)), coalesce(sum("mdq"), lit(0.0))).head
+    }
     val nMoves = stats.getLong(0)
     val dqSum = stats.getDouble(1)
     if (debug) System.err.println(s"[sweep] parity=$parity moves=$nMoves dq=$dqSum refine=$refineSingletons")
 
-    if (nMoves == 0) { PlanUtils.release(best); return SweepResult(state, 0L, 0.0) }
+    if (nMoves == 0) { PlanUtils.release(best); return SweepResult(state, 0L, 0.0, affBits) }
+
+    affBits.foreach { bits =>
+      // Frontier-bitmap state update (FrontierBits scaladoc): neighbors of
+      // moved = one bit-OR pass over the edge cache behind a codegen'd
+      // moved-bitmap filter (no join, no V-sized hash distinct), the parity
+      // carry-over is a driver byte mask, and the state update joins best
+      // CO-PARTITIONED (checkpointTruncated preserves the shared id/src
+      // hash partitioning; shuffle_hash builds the O(moves) side) — zero
+      // exchanges and zero broadcast-relation builds in the whole update.
+      val n = bits.length * 8
+      val movedBits = stats.getAs[Array[Byte]](2)
+      val nbBits = edges
+        .filter(NativeColumns.bitsetContains(lit(movedBits), col("src")))
+        .agg(NativeColumns.bitsetOr(col("dst"), n)).head.getAs[Array[Byte]](0)
+      val nextBits = FrontierBits.next(bits, nbBits, parity)
+      val next = PlanUtils.checkpointTruncated(
+        state
+          .join(best.select(col("id"), col("newcomm")).hint("shuffle_hash"), Seq("id"), "left")
+          .select(
+            col("id"),
+            coalesce(col("newcomm"), col("comm")).as("comm"),
+            col("vtot"),
+            NativeColumns.bitsetContains(lit(nextBits), col("id")).as("aff")))
+      PlanUtils.release(best)
+      return SweepResult(next, nMoves, dqSum, Some(nextBits))
+    }
 
     // neighbors of moved vertices become affected
     // (/root/reference/inc/leiden.hxx:427-429); a visited mover clears its
@@ -374,14 +475,25 @@ object LocalMove {
           edgesByDst: Option[DataFrame] = None,
           broadcastCt: Boolean = false,
           vertexCountHint: Long = -1L,
-          broadcastMembership: Boolean = false): (DataFrame, Int, Long) = {
+          broadcastMembership: Boolean = false,
+          frontierBits: Int = 0): (DataFrame, Int, Long) = {
     var state = state0
     var it = 0
     var totalMoves = 0L
     var continue = true
+    // Frontier-bitmap tier: materialize state0's aff column once (one small
+    // job per phase), then the per-sweep frontier lives on the driver.
+    // Caller contract: frontierBits > maxId of every vertex this phase, and
+    // broadcastMembership (the bitmap path always resolves membership by
+    // broadcast).
+    var bits: Option[Array[Byte]] =
+      if (frontierBits > 0 && broadcastMembership)
+        Some(FrontierBits.fromState(state0, frontierBits))
+      else None
     while (continue && it < maxIterations) {
-      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership)
-      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership)
+      val a = sweep(edges, state, m, resolution, 0, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership, bits)
+      val b = sweep(edges, a.state, m, resolution, 1, bound, refineSingletons, sketchSlots, edgesByDst, broadcastCt, vertexCountHint, broadcastMembership, a.affBits)
+      bits = b.affBits
       // drop the persisted blocks of superseded intermediate states
       // (never the caller's state0 and never what we return)
       if ((a.state ne state) && (a.state ne b.state)) PlanUtils.release(a.state)

@@ -30,4 +30,12 @@ object NativeColumns {
     ExpressionUtils.column(ArrayCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hashChain(seed: Column, iters: Int): Column =
     ExpressionUtils.column(HashChainExpr(ExpressionUtils.expression(seed), iters))
+  /** Aggregate: OR long ids into a numBits-wide bitmap (BinaryType). */
+  def bitsetOr(id: Column, numBits: Int): Column =
+    ExpressionUtils.column(graft.catalyst.BitSetOrAgg(
+      ExpressionUtils.expression(id), numBits).toAggregateExpression())
+  /** Predicate: bit `id` set in `bitmap` (binary; out-of-range = false). */
+  def bitsetContains(bitmap: Column, id: Column): Column =
+    ExpressionUtils.column(graft.catalyst.BitSetContainsExpr(
+      ExpressionUtils.expression(bitmap), ExpressionUtils.expression(id)))
 }

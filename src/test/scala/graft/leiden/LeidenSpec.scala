@@ -81,18 +81,58 @@ class LeidenSpec extends SparkSpec {
         lit(true).as("aff"))
     def memb(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def affSet(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("aff")).select("id").collect().map(_.getLong(0)).toSet
+    val bits0 = FrontierBits.fromState(st0, 400)
     for (parity <- 0 to 1) {
       val legacy = LocalMove.sweep(edges, st0, m, 1.0, parity)
       val viaDst = LocalMove.sweep(edges, st0, m, 1.0, parity,
         edgesByDst = Some(edst))
       val viaBc = LocalMove.sweep(edges, st0, m, 1.0, parity,
         edgesByDst = Some(edst), broadcastCt = true)
+      val viaBits = LocalMove.sweep(edges, st0, m, 1.0, parity,
+        broadcastCt = true, broadcastMembership = true, affBits = Some(bits0))
       assert(viaDst.moves === legacy.moves, s"parity=$parity")
       assert(memb(viaDst.state) === memb(legacy.state), s"parity=$parity")
       assert(viaBc.moves === legacy.moves, s"bc parity=$parity")
       assert(memb(viaBc.state) === memb(legacy.state), s"bc parity=$parity")
+      assert(viaBits.moves === legacy.moves, s"bits parity=$parity")
+      assert(memb(viaBits.state) === memb(legacy.state), s"bits parity=$parity")
+      // the frontier bitmap, the returned state's aff column, and the
+      // legacy path's aff column must all be the SAME set
+      val legacyAff = affSet(legacy.state)
+      assert(affSet(viaBits.state) === legacyAff, s"bits aff parity=$parity")
+      val gotBits = viaBits.affBits.get
+      val fromBits = (0L until 400L)
+        .filter(id => graft.catalyst.BitSetKernels.contains(gotBits, id)).toSet
+      assert(fromBits === legacyAff, s"bitmap-vs-column parity=$parity")
     }
     edst.unpersist(); edges.unpersist()
+  }
+
+  test("frontier-bitmap run equals the column-path run across full phases") {
+    // multi-iteration LocalMove.run parity: the bitmap tier must converge
+    // through the SAME states (same iterations, moves, membership) as the
+    // aff-column path, on a graph messy enough to need several sweeps
+    val rnd = new Random(19)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (rnd.nextDouble() < (if ((a / 30) == (b / 30)) 0.3 else 0.015))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    def st0 = EdgeTable.vertexWeights(edges)
+      .select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+    val (plain, itP, mvP) = LocalMove.run(edges, st0, m, 1.0, 1e-9, 50,
+      broadcastCt = true, broadcastMembership = true)
+    val (viaBits, itB, mvB) = LocalMove.run(edges, st0, m, 1.0, 1e-9, 50,
+      broadcastCt = true, broadcastMembership = true, frontierBits = 300)
+    assert(itB === itP); assert(mvB === mvP)
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(memb(viaBits) === memb(plain))
+    edges.unpersist()
   }
 
   test("P4 local first pass: deterministic shuffle-free seed, full run still exact") {
