@@ -72,9 +72,35 @@ object Bench {
     }
     val m = EdgeTable.totalWeight(edges) / 2
     val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+    var bestSecs = Double.MaxValue
+    if (bcMd && nVerts <= LocalMove.CtBroadcastMax) {
+      // production tier for broadcast-sized dense passes (Leiden.detect's
+      // gate): driver-array state, two zero-shuffle jobs per half-sweep
+      // (ArraySweep scaladoc). Fixture ids are dense [0, nVerts).
+      val n = nVerts.toInt
+      val vt = new Array[Double](n)
+      vtot.select("id", "vtot").collect()
+        .foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+      val st = graft.leiden.ArraySweep.singleton(edges, n, vt)
+      // warmup half-sweep primes codegen + the edge cache; its state is
+      // the FIXED starting point of every repetition
+      graft.leiden.ArraySweep.halfSweep(st, m, 1.0, 0)
+      val snap = st.snapshot()
+      for (_ <- 1 to reps) {
+        st.restore(snap)
+        val t0 = System.nanoTime()
+        var done = 0
+        while (done < iters) {
+          graft.leiden.ArraySweep.halfSweep(st, m, 1.0, 1)
+          graft.leiden.ArraySweep.halfSweep(st, m, 1.0, 0)
+          done += 1
+        }
+        bestSecs = math.min(bestSecs, (System.nanoTime() - t0) / 1e9)
+      }
+      st.close()
+    } else {
     val init = vtot.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
-    // frontier-bitmap tier on the membership-broadcast path (the production
-    // pairing Leiden.detect uses): fixture ids are dense [0, nVerts)
+    // frontier-bitmap tier on the membership-broadcast path: dense ids
     val fBits: Option[Array[Byte]] =
       if (bcMd && nVerts <= LocalMove.FrontierBitsMax)
         Some(graft.leiden.FrontierBits.fromState(init, nVerts.toInt))
@@ -85,7 +111,6 @@ object Bench {
       broadcastCt = bcCt, vertexCountHint = nVerts, broadcastMembership = bcMd,
       affBits = fBits)
     val warm = warmR.state
-    var bestSecs = Double.MaxValue
     for (_ <- 1 to reps) {
       var state = warm
       var bits = warmR.affBits
@@ -105,6 +130,7 @@ object Bench {
       if (state ne warm) PlanUtils.release(state)
     }
     PlanUtils.release(warm)
+    }
     PlanUtils.release(vtot)
     byDst.foreach(_.unpersist())
     edges.unpersist()

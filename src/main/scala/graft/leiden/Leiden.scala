@@ -185,38 +185,102 @@ object Leiden {
       // and gather via the dstGather plan (LocalMove.sweep scaladoc).
       val bcCt = gn <= LocalMove.CtBroadcastMax
       // Frontier-bitmap tier gate (FrontierBits scaladoc): dense-enough id
-      // space, checked against the pass's actual max id (one tiny job over
-      // the checkpointed vtot). Post-aggregation passes are renumbered
-      // dense, so this holds for every pass but possibly the raw pass 0.
-      val maxId: Long =
-        if (bcCt) vtot.agg(max(col("id"))).head.getLong(0) else Long.MaxValue
+      // space, checked against the pass's actual id bounds (one tiny job
+      // over the checkpointed vtot). Post-aggregation passes are
+      // renumbered dense, so this holds for every pass but possibly the
+      // raw pass 0.
+      val (minId, maxId): (Long, Long) =
+        if (bcCt) {
+          val r = vtot.agg(min(col("id")), max(col("id"))).head
+          (r.getLong(0), r.getLong(1))
+        } else (0L, Long.MaxValue)
       val fBits: Int =
-        if (bcCt && maxId + 1 <= LocalMove.FrontierBitsMax) (maxId + 1).toInt else 0
-      val edgesByDst = if (bcCt) None else Some(edges.repartition(col("dst")).cache())
-      val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
-        LocalMove.run(edges, state0, m, opts.resolution,
-          tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
-          edgesByDst = edgesByDst, broadcastCt = bcCt, vertexCountHint = gn,
-          broadcastMembership = bcCt, frontierBits = fBits)
-      }
-      edgesByDst.foreach(_.unpersist(blocking = false))
+        if (bcCt && minId >= 0 && maxId + 1 <= LocalMove.FrontierBitsMax)
+          (maxId + 1).toInt
+        else 0
 
-      // 2. refinement: bound = post-move membership; re-init singletons
-      val bound = PlanUtils.checkpointTruncated(
-        moved.select(col("id"), col("comm").as("bound")))
-      if (moved ne state0) PlanUtils.release(moved)
-      val (refined, rIters, rMoves) = timed("refine") {
-        LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
-          tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
-          sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt,
-          broadcastMembership = bcCt, frontierBits = fBits)
+      // Array tier (ArraySweep scaladoc): dense id space small enough for
+      // driver arrays + exact scans → all O(V) state lives on the driver
+      // and each half-sweep is two zero-shuffle jobs. A warm start whose
+      // community labels escape the dense id space falls through to the
+      // DataFrame tiers (they accept arbitrary labels).
+      val warmInit = pass == firstPass && !resumed &&
+        (seedMembership.isDefined || affected.isDefined)
+      val arrayState: Option[ArraySweep.ArrayState] =
+        if (fBits > 0 && slots == 0 && fBits <= LocalMove.CtBroadcastMax) timed("mark") {
+          val n = fBits
+          val vt = new Array[Double](n)
+          vtot.select("id", "vtot").collect()
+            .foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+          if (warmInit) {
+            val rows = state0.select("id", "comm", "aff").collect()
+            if (rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < n)) {
+              val comm0 = Array.tabulate(n)(_.toLong)
+              val bits0 = new Array[Byte]((n + 7) / 8)
+              rows.foreach { r =>
+                val id = r.getLong(0)
+                comm0(id.toInt) = r.getLong(1)
+                if (r.getBoolean(2))
+                  bits0((id >>> 3).toInt) =
+                    (bits0((id >>> 3).toInt) | (1 << (id & 7).toInt)).toByte
+              }
+              Some(ArraySweep.init(edges, n, vt, comm0, bits0))
+            } else None
+          } else Some(ArraySweep.singleton(edges, n, vt))
+        } else None
+
+      val (refMemb, iters, lMoves, rMoves) = arrayState match {
+        case Some(st) =>
+          val (lIt, lMv) = timed(if (pass == firstPass) "firstpass" else "move") {
+            ArraySweep.run(st, m, opts.resolution, tolerance,
+              opts.maxIterations, minMoves = minMoves)
+          }
+          // 2. refinement: bound = post-move membership (a driver array);
+          // re-init singletons in place
+          val boundArr = st.resetToSingletons()
+          val (rIt, rMv) = timed("refine") {
+            ArraySweep.run(st, m, opts.resolution, tolerance,
+              opts.maxIterations, boundArr = Some(boundArr),
+              refineSingletons = true, minMoves = minMoves)
+          }
+          // materialize the refined membership once, reusing vtot's id
+          // partitioning (no shuffle, one lookup per row)
+          val bcRef = new graft.catalyst.BcLongs(
+            spark.sparkContext.broadcast(st.comm))
+          val rm = PlanUtils.checkpointTruncated(vtot.select(col("id"),
+            org.apache.spark.sql.graft.NativeColumns
+              .bcLookupLong(bcRef, col("id")).as("comm")))
+          bcRef.bc.destroy()
+          st.close()
+          (rm, lIt + rIt, lMv, rMv)
+
+        case None =>
+          val edgesByDst =
+            if (bcCt) None else Some(edges.repartition(col("dst")).cache())
+          val (moved, lIters, lMoves) = timed(if (pass == firstPass) "firstpass" else "move") {
+            LocalMove.run(edges, state0, m, opts.resolution,
+              tolerance, opts.maxIterations, sketchSlots = slots, minMoves = minMoves,
+              edgesByDst = edgesByDst, broadcastCt = bcCt, vertexCountHint = gn,
+              broadcastMembership = bcCt, frontierBits = fBits)
+          }
+          edgesByDst.foreach(_.unpersist(blocking = false))
+
+          // 2. refinement: bound = post-move membership; re-init singletons
+          val bound = PlanUtils.checkpointTruncated(
+            moved.select(col("id"), col("comm").as("bound")))
+          if (moved ne state0) PlanUtils.release(moved)
+          val (refined, rIters, rMoves) = timed("refine") {
+            LocalMove.run(edges, singletonState(vtot), m, opts.resolution,
+              tolerance, opts.maxIterations, Some(bound), refineSingletons = true,
+              sketchSlots = slots, minMoves = minMoves, broadcastCt = bcCt,
+              broadcastMembership = bcCt, frontierBits = fBits)
+          }
+          val rm = PlanUtils.checkpointTruncated(refined.select("id", "comm"))
+          PlanUtils.release(bound)
+          if (refined ne rm) PlanUtils.release(refined)
+          (rm, lIters + rIters, lMoves, rMoves)
       }
-      val iters = lIters + rIters
       totalIters += math.max(iters, 1)
-
-      val refMemb = PlanUtils.checkpointTruncated(refined.select("id", "comm"))
-      PlanUtils.release(bound)
-      if (refined ne refMemb) PlanUtils.release(refined)
       PlanUtils.release(vtot)
       if (state0 ne vtot) PlanUtils.release(state0)
       val prevLeaf = leaf

@@ -38,4 +38,12 @@ object NativeColumns {
   def bitsetContains(bitmap: Column, id: Column): Column =
     ExpressionUtils.column(graft.catalyst.BitSetContainsExpr(
       ExpressionUtils.expression(bitmap), ExpressionUtils.expression(id)))
+  /** O(1) read `arr(id)` from a broadcast long array (dense-id state). */
+  def bcLookupLong(holder: graft.catalyst.BcLongs, id: Column): Column =
+    ExpressionUtils.column(graft.catalyst.BcLookupLongExpr(
+      ExpressionUtils.expression(id), holder))
+  /** O(1) read `arr(id)` from a broadcast double array (dense-id state). */
+  def bcLookupDouble(holder: graft.catalyst.BcDoubles, id: Column): Column =
+    ExpressionUtils.column(graft.catalyst.BcLookupDoubleExpr(
+      ExpressionUtils.expression(id), holder))
 }

@@ -110,6 +110,82 @@ class LeidenSpec extends SparkSpec {
     edst.unpersist(); edges.unpersist()
   }
 
+  test("driver-array half-sweep equals the legacy sweep from a blocked state") {
+    // same fixture discipline as the dst-cache parity test: non-trivial
+    // graph, non-singleton blocked start, both parities
+    val rnd = new Random(7)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 400; b <- a + 1 until 400)
+      if (rnd.nextDouble() < (if ((a / 40) == (b / 40)) 0.25 else 0.01))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    val st0 = vw.select(col("id"), pmod(col("id"), lit(16)).as("comm"),
+      col("vtot"), lit(true).as("aff"))
+    val vt = new Array[Double](400)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val realIds = vw.select("id").collect().map(_.getLong(0))
+    for (parity <- 0 to 1) {
+      val legacy = LocalMove.sweep(edges, st0, m, 1.0, parity)
+      val comm0 = (0 until 400).map(i => (i % 16).toLong).toArray
+      val st = ArraySweep.init(edges, 400, vt, comm0,
+        Array.fill[Byte](50)(-1))
+      val (mvA, _) = ArraySweep.halfSweep(st, m, 1.0, parity)
+      assert(mvA === legacy.moves, s"parity=$parity")
+      val legacyM = memb(legacy.state)
+      realIds.foreach { id =>
+        assert(st.comm(id.toInt) === legacyM(id), s"id=$id parity=$parity")
+      }
+      st.close()
+    }
+    edges.unpersist()
+  }
+
+  test("driver-array tier equals the column tiers across move and refine phases") {
+    val rnd = new Random(19)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (rnd.nextDouble() < (if ((a / 30) == (b / 30)) 0.3 else 0.015))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    def st0 = vw.select(col("id"), col("id").as("comm"), col("vtot"), lit(true).as("aff"))
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val realIds = vw.select("id").collect().map(_.getLong(0))
+
+    // column path: move phase, then the bounded refine phase
+    val (movedC, itMC, mvMC) = LocalMove.run(edges, st0, m, 1.0, 1e-9, 50,
+      broadcastCt = true, broadcastMembership = true)
+    val boundDf = movedC.select(col("id"), col("comm").as("bound"))
+    val (refC, itRC, mvRC) = LocalMove.run(edges, st0, m, 1.0, 1e-9, 50,
+      Some(boundDf), refineSingletons = true,
+      broadcastCt = true, broadcastMembership = true)
+
+    // array path, same phases
+    val vt = new Array[Double](300)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+    val st = ArraySweep.singleton(edges, 300, vt)
+    val (itMA, mvMA) = ArraySweep.run(st, m, 1.0, 1e-9, 50)
+    assert(itMA === itMC); assert(mvMA === mvMC)
+    val movedM = memb(movedC)
+    realIds.foreach(id => assert(st.comm(id.toInt) === movedM(id), s"move id=$id"))
+    val bound = st.resetToSingletons()
+    val (itRA, mvRA) = ArraySweep.run(st, m, 1.0, 1e-9, 50,
+      boundArr = Some(bound), refineSingletons = true)
+    assert(itRA === itRC); assert(mvRA === mvRC)
+    val refM = memb(refC)
+    realIds.foreach(id => assert(st.comm(id.toInt) === refM(id), s"refine id=$id"))
+    st.close()
+    edges.unpersist()
+  }
+
   test("frontier-bitmap run equals the column-path run across full phases") {
     // multi-iteration LocalMove.run parity: the bitmap tier must converge
     // through the SAME states (same iterations, moves, membership) as the
