@@ -55,7 +55,9 @@ object Bench {
   def leidenSuperstepThroughput(spark: SparkSession, nVerts: Long, iters: Int,
                                 reps: Int = 3,
                                 broadcastCtOverride: Option[Boolean] = None,
-                                membershipOverride: Option[Boolean] = None): (Double, Long, Double) = {
+                                membershipOverride: Option[Boolean] = None,
+                                csrKernel: Boolean =
+                                  sys.env.get("SPARK_GRAFT_SWEEP_KERNEL").contains("csr")): (Double, Long, Double) = {
     // src-partitioned main cache, exactly as Leiden.detect builds it
     val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts))
       .repartition(col("src")).cache()
@@ -73,7 +75,32 @@ object Bench {
     val m = EdgeTable.totalWeight(edges) / 2
     val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
     var bestSecs = Double.MaxValue
-    if (bcMd && nVerts <= LocalMove.CtBroadcastMax) {
+    if (csrKernel && bcMd && nVerts <= LocalMove.CtBroadcastMax) {
+      // packed-CSR fused kernel (CsrSweep scaladoc): ONE primitive-array
+      // pass per half-sweep, frontier folded in — the minimum-DRAM tier
+      val n = nVerts.toInt
+      val vt = new Array[Double](n)
+      vtot.select("id", "vtot").collect()
+        .foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+      val csr = graft.leiden.CsrSweep.build(edges, n).cache()
+      csr.count()
+      val st = graft.leiden.CsrSweep.singleton(csr, n, vt)
+      graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 0) // warmup = fixed start
+      val snap = st.snapshot()
+      for (_ <- 1 to reps) {
+        st.restore(snap)
+        val t0 = System.nanoTime()
+        var done = 0
+        while (done < iters) {
+          graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 1)
+          graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 0)
+          done += 1
+        }
+        bestSecs = math.min(bestSecs, (System.nanoTime() - t0) / 1e9)
+      }
+      st.close()
+      csr.unpersist(blocking = false)
+    } else if (bcMd && nVerts <= LocalMove.CtBroadcastMax) {
       // production tier for broadcast-sized dense passes (Leiden.detect's
       // gate): driver-array state, two zero-shuffle jobs per half-sweep
       // (ArraySweep scaladoc). Fixture ids are dense [0, nVerts).

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *     --sketch K         leiden: Misra-Gries slots (0 = exact scan)
   *     --sketch-agg 1     leiden: ALSO sketch the coarsening (reference
   *                        lowmem semantics; see LeidenOptions.sketchAggregation)
+  *     --csr 0            leiden: disable the packed-CSR fused kernel on
+  *                        dense-gated passes (LeidenOptions.csrKernel;
+  *                        default on)
   *     --mtx PATH         MatrixMarket input (interop with native readers)
   *     --localfirst N     leiden: N partition-local CSR sweeps seed pass 0 (P4)
   *     --snapshot DIR     leiden: per-pass checkpoint dir (resume-aware)
@@ -67,6 +70,7 @@ object Cli {
           // reference-semantics lossy aggregation (see LeidenOptions scaladoc)
           sketchAggregation = opts.getOrElse("--sketch-agg", "0").toInt > 0,
           localFirstPassIters = opts.getOrElse("--localfirst", "0").toInt,
+          csrKernel = opts.getOrElse("--csr", "1").toInt > 0,
           // CLI opts into the churn stop (library default 0 = reference
           // termination semantics); --min-moved 0 restores the reference
           minMovedFraction = opts.getOrElse("--min-moved", "1e-3").toDouble,

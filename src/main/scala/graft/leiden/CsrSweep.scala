@@ -1,0 +1,455 @@
+package graft.leiden
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The innermost sweep tier: sorted CSR-like per-partition edge blocks
+  * driven by a fused per-partition kernel — the physical layout the
+  * north-star design names explicitly ("edges are repartitioned into
+  * sorted CSR-like per-partition blocks").
+  *
+  * Sits below [[ArraySweep]] on the same gate (dense ids within the
+  * broadcast cap, exact scans) and exists for one measured reason: the
+  * Catalyst array tier's half-sweep is two full passes over the cached
+  * edge table (gather-aggregate-argmax, then the frontier bit-OR), each
+  * paying the columnar-cache decode per row, and at 8 cores those passes
+  * already saturate one box's DRAM (BENCH.md roofline: 4x threads buy only
+  * ~1.5x bandwidth), capping the N->4N scaling criterion no matter how
+  * fast the plan is. This tier attacks the BYTES, not the plan: per
+  * half-sweep it reads each edge exactly once from a packed primitive
+  * array block (12 B/edge, no columnar decode, no hash-aggregation
+  * operator state), resolves membership via one 4-byte indexed load, and
+  * keeps every per-src scratch structure L1-resident. The frontier update
+  * costs zero extra passes — see the algebra below.
+  *
+  * Decision-for-decision parity with [[ArraySweep.halfSweep]] /
+  * [[LocalMove.sweep]] (same ΔQ expression evaluation order, the same
+  * singleton swap guard, smallest-community-id tie-break, mdq > 0
+  * acceptance, synchronous apply) is pinned by LeidenSpec; on
+  * integer-weight graphs the memberships are bit-identical across all
+  * tiers.
+  *
+  * == Frontier without a second pass ==
+  *
+  * The column/bitmap tiers materialize "neighbors of moved vertices" after
+  * each MOVING half-sweep with an extra edge scan
+  * (`/root/reference/inc/leiden.hxx:427-429`, [[ArraySweep.halfSweep]]'s
+  * bitsetOr job), evolving a V-bit frontier as
+  *
+  *   moving sweep at parity p, moved set M:  bits' = nb(M) | (bits & ~mask(p))
+  *   non-moving sweep (empty frontier OR scanned-but-0-moves): bits' = bits
+  *
+  * That recurrence folds exactly into driver-held state with no nb(·)
+  * materialization at all. Keep, per parity q:
+  *
+  *   acc(q)       = union of the moved sets of every MOVING sweep since
+  *                  parity q's last MOVING sweep (inclusive of that one)
+  *   seedAlive(q) = "parity q has had no MOVING sweep yet"
+  *
+  * updated as: on a moving sweep at p with moved set M — `acc(p) := M`,
+  * `acc(1-p) |= M`, `seedAlive(p) := false`; on a non-moving sweep —
+  * nothing. Then for every parity q and vertex v of that parity,
+  *
+  *   bits(v)  =  (seedAlive(q) && seed(v))  ||  v ∈ nb(acc(q))
+  *
+  * (induction over sweeps: a moving sweep at p rewrites parity-p bits to
+  * exactly nb(M) and ORs nb(M) into the other parity's bits, which is
+  * precisely the acc reset/accumulate; non-moving sweeps change nothing on
+  * either side). The moved sets are known on the driver for free (they are
+  * the applied moves), and `v ∈ nb(acc)` is tested INLINE while the kernel
+  * streams v's own edge block — on a symmetric edge table, v has an edge
+  * into acc iff some (v,u) with u ∈ acc exists (self-loops included, which
+  * is why [[CsrBlock]] keeps them) — so there is no frontier
+  * materialization job at all, and the test is exact, not a superset.
+  */
+object CsrSweep {
+
+  /** One partition's edges, packed: `srcs` ascending distinct, CSR
+    * offsets into `dst`/`w`. Self-loops retained (the frontier test needs
+    * them); the candidate accumulation skips them, matching the scan
+    * tiers' `src =!= dst`.
+    */
+  final case class CsrBlock(srcs: Array[Int], off: Array[Int],
+                            dst: Array[Int], w: Array[Double])
+
+  /** Pack the edge cache into per-partition CSR blocks — one job per
+    * phase, cached deserialized by the caller. The per-block argmax is
+    * per-src-complete, so all edges of a src MUST land in one partition:
+    * the explicit `repartition(src)` below guarantees it for any input
+    * (coarsened passes arrive (src,dst)-partitioned), and EnsureRequirements
+    * elides the exchange when the pass cache is already hash(src)
+    * partitioned (pass 0's is — one narrow projection, zero shuffles).
+    * Row order within a src is deterministic for a given partitioning, so
+    * integer-weight sums are exact and float-weight sums follow one fixed
+    * order.
+    */
+  def build(edges: DataFrame, n: Int): RDD[CsrBlock] = {
+    val rows = edges.repartition(col("src"))
+      .select(col("src").cast("int"), col("dst").cast("int"),
+        col("w").cast("double"))
+      .queryExecution.toRdd
+    rows.mapPartitions({ it =>
+      var cap = 1 << 16
+      var ss = new Array[Int](cap); var dd = new Array[Int](cap); var ww = new Array[Double](cap)
+      var m = 0
+      while (it.hasNext) {
+        val r = it.next()
+        if (m == cap) {
+          cap *= 2
+          ss = java.util.Arrays.copyOf(ss, cap)
+          dd = java.util.Arrays.copyOf(dd, cap)
+          ww = java.util.Arrays.copyOf(ww, cap)
+        }
+        ss(m) = r.getInt(0); dd(m) = r.getInt(1); ww(m) = r.getDouble(2)
+        m += 1
+      }
+      // bucket by src via an n-sized degree array (build-time only)
+      val deg = new Array[Int](n)
+      var i = 0
+      while (i < m) { deg(ss(i)) += 1; i += 1 }
+      var nSrc = 0
+      i = 0
+      while (i < n) { if (deg(i) > 0) nSrc += 1; i += 1 }
+      val srcs = new Array[Int](nSrc)
+      val off = new Array[Int](nSrc + 1)
+      val start = new Array[Int](n) // running write cursor per src
+      var k = 0; var acc = 0
+      i = 0
+      while (i < n) {
+        if (deg(i) > 0) {
+          srcs(k) = i; off(k) = acc; start(i) = acc
+          acc += deg(i); k += 1
+        }
+        i += 1
+      }
+      off(nSrc) = acc
+      val dstA = new Array[Int](m); val wA = new Array[Double](m)
+      i = 0
+      while (i < m) {
+        val s = ss(i); val p = start(s)
+        dstA(p) = dd(i); wA(p) = ww(i); start(s) = p + 1
+        i += 1
+      }
+      Iterator.single(CsrBlock(srcs, off, dstA, wA))
+    }, preservesPartitioning = true)
+  }
+
+  /** Driver-held sweep state for this tier: membership + the folded
+    * frontier (scaladoc algebra). `vtot` broadcasts once per state
+    * lifetime (it never changes within a phase); `bound` once per run.
+    */
+  final class CsrState(val csr: RDD[CsrBlock], val n: Int,
+                       val vtot: Array[Double], val comm: Array[Long],
+                       val seed: Array[Byte]) {
+    val nBytes: Int = (n + 7) / 8
+    val acc: Array[Array[Byte]] =
+      Array(new Array[Byte](nBytes), new Array[Byte](nBytes))
+    val seedAlive: Array[Boolean] = Array(true, true)
+    private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
+      csr.sparkContext.broadcast(vtot)
+    def close(): Unit = bcVtot.destroy()
+    /** Deep-copy of the mutable members (bench repetition restarts). */
+    def snapshot(): (Array[Long], Array[Byte], Array[Byte], Array[Boolean]) =
+      (comm.clone(), acc(0).clone(), acc(1).clone(), seedAlive.clone())
+    def restore(s: (Array[Long], Array[Byte], Array[Byte], Array[Boolean])): Unit = {
+      Array.copy(s._1, 0, comm, 0, n)
+      Array.copy(s._2, 0, acc(0), 0, nBytes)
+      Array.copy(s._3, 0, acc(1), 0, nBytes)
+      seedAlive(0) = s._4(0); seedAlive(1) = s._4(1)
+    }
+    /** Re-init to singletons for the refinement phase, reusing this
+      * state's vtot broadcast; returns the previous membership (the
+      * refinement bound). Mirrors [[ArraySweep.ArrayState.resetToSingletons]].
+      */
+    def resetToSingletons(): Array[Long] = {
+      val prev = comm.clone()
+      var i = 0
+      while (i < n) { comm(i) = i.toLong; i += 1 }
+      java.util.Arrays.fill(seed, -1.toByte)
+      java.util.Arrays.fill(acc(0), 0.toByte)
+      java.util.Arrays.fill(acc(1), 0.toByte)
+      seedAlive(0) = true; seedAlive(1) = true
+      prev
+    }
+  }
+
+  def init(csr: RDD[CsrBlock], n: Int, vtot: Array[Double],
+           comm0: Array[Long], aff0: Array[Byte]): CsrState =
+    new CsrState(csr, n, vtot, comm0, aff0)
+
+  /** Identity membership + all-affected seed (singleton init). */
+  def singleton(csr: RDD[CsrBlock], n: Int, vtot: Array[Double]): CsrState =
+    new CsrState(csr, n, vtot, Array.tabulate(n)(_.toLong),
+      Array.fill[Byte]((n + 7) / 8)(-1))
+
+  @inline private def bit(b: Array[Byte], i: Int): Boolean =
+    (b(i >> 3) & (1 << (i & 7))) != 0
+
+  /** Community totals + singleton flags, derived from (comm, vtot). The
+    * kernel needs these per half-sweep but they are a pure O(V) function
+    * of the membership — so instead of broadcasting 8 B/vertex of ctot on
+    * top of the 4 B/vertex membership, each EXECUTOR derives them once per
+    * broadcast (weak-identity memo on the broadcast's value instance; all
+    * tasks of one executor share it, GC reclaims with the broadcast).
+    * Exactness unchanged: the scatter-add runs in ascending vertex order,
+    * identical to the driver-side loop it replaces.
+    */
+  private val derivMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Int], (Array[Double], Array[Byte])]())
+
+  private def derive(comm: Array[Int], vt: Array[Double]): (Array[Double], Array[Byte]) = {
+    val got = derivMemo.get(comm)
+    if (got != null) return got
+    val n = comm.length
+    val ctot = new Array[Double](n)
+    val csize = new Array[Int](n)
+    var i = 0
+    while (i < n) { val c = comm(i); ctot(c) += vt(i); csize(c) += 1; i += 1 }
+    val sgl = new Array[Byte]((n + 7) / 8)
+    i = 0
+    while (i < n) {
+      if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    derivMemo.put(comm, (ctot, sgl))
+    (ctot, sgl)
+  }
+
+  private def hasParityBits(b: Array[Byte], parity: Int): Boolean = {
+    val mask = FrontierBits.parityMask(parity)
+    var i = 0
+    while (i < b.length) { if ((b(i) & mask) != 0) return true; i += 1 }
+    false
+  }
+
+  private def allZero(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** One synchronous half-sweep; mutates `st`, returns (moves, dqSum).
+    * Non-moving sweeps leave the frontier state untouched, exactly like
+    * [[ArraySweep.halfSweep]]'s two early returns.
+    */
+  def halfSweep(st: CsrState, m: Double, resolution: Double, parity: Int,
+                bcBound: Option[Broadcast[Array[Int]]] = None,
+                refineSingletons: Boolean = false): (Long, Double) = {
+    val n = st.n
+    val useSeed = st.seedAlive(parity)
+    // frontier provably empty at this parity -> skip the scan job
+    if (allZero(st.acc(parity)) && !(useSeed && hasParityBits(st.seed, parity)))
+      return (0L, 0.0)
+    val sc = st.csr.sparkContext
+    // the ONLY per-half-sweep broadcast: membership as Int (dense ids
+    // < n <= 4M) — ctot/sgl are derived executor-side from it (derive())
+    val commI = new Array[Int](n)
+    var i = 0
+    while (i < n) { commI(i) = st.comm(i).toInt; i += 1 }
+    val bcComm = sc.broadcast(commI)
+    val bcVtot = st.bcVtot
+    val seedL = if (useSeed) st.seed else null
+    val accL = st.acc(parity)
+    val twoM2 = 2 * m * m
+    val res = resolution
+    val par = parity
+    val refine = refineSingletons
+    try {
+      val out = st.csr.map { blk =>
+        val comm = bcComm.value; val vt = bcVtot.value
+        val (ct, sglL) = derive(comm, vt)
+        val bnd = bcBound.map(_.value).orNull
+        // per-src scratch: open-address cdst -> wuc map, cleared via a
+        // touched list; stays L1-sized for all but hub vertices
+        var cap = 1 << 10
+        var keys = Array.fill[Int](cap)(-1)
+        var vals = new Array[Double](cap)
+        var touched = new Array[Int](cap)
+        var nt = 0
+        def grow(): Unit = {
+          val ok = keys; val ov = vals; val oc = cap
+          cap *= 4
+          keys = Array.fill[Int](cap)(-1); vals = new Array[Double](cap)
+          touched = new Array[Int](cap)
+          val shift = 32 - Integer.numberOfTrailingZeros(cap)
+          val mask = cap - 1
+          nt = 0
+          var q = 0
+          while (q < oc) {
+            val kk = ok(q)
+            if (kk >= 0) {
+              var h = ((kk * 0x9E3779B1) >>> shift) & mask
+              while (keys(h) >= 0) h = (h + 1) & mask
+              keys(h) = kk; vals(h) = ov(q); touched(nt) = h; nt += 1
+            }
+            q += 1
+          }
+        }
+        def slot(k: Int): Int = {
+          val mask = cap - 1
+          var h = ((k * 0x9E3779B1) >>> (32 - Integer.numberOfTrailingZeros(cap))) & mask
+          while (keys(h) >= 0 && keys(h) != k) h = (h + 1) & mask
+          h
+        }
+        var mvCap = 256
+        var mvPacked = new Array[Long](mvCap)
+        var mvDq = new Array[Double](mvCap)
+        var nMv = 0
+        val srcs = blk.srcs; val off = blk.off; val dst = blk.dst; val w = blk.w
+        var k = 0
+        while (k < srcs.length) {
+          val s = srcs(k)
+          if ((s & 1) == par) {
+            val ccur = comm(s)
+            val refineOk = !refine || bit(sglL, ccur)
+            if (refineOk) {
+              val e0 = off(k); val e1 = off(k + 1)
+              // inline frontier test: live seed mark on s itself, else an
+              // edge into acc (self-loops count — symmetric table)
+              var front = seedL != null && bit(seedL, s)
+              if (!front) {
+                var e = e0
+                while (!front && e < e1) { if (bit(accL, dst(e))) front = true; e += 1 }
+              }
+              if (front) {
+                // accumulate candidates (dst != s; refine: same bound)
+                if (nt > 0) { var t = 0; while (t < nt) { keys(touched(t)) = -1; t += 1 }; nt = 0 }
+                var e = e0
+                if (bnd == null) {
+                  while (e < e1) {
+                    val d = dst(e)
+                    if (d != s) {
+                      if ((nt + 1) * 2 > cap) grow()
+                      val h = slot(comm(d))
+                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = w(e); touched(nt) = h; nt += 1 }
+                      else vals(h) += w(e)
+                    }
+                    e += 1
+                  }
+                } else {
+                  val bs = bnd(s)
+                  while (e < e1) {
+                    val d = dst(e)
+                    if (d != s && bnd(d) == bs) {
+                      if ((nt + 1) * 2 > cap) grow()
+                      val h = slot(comm(d))
+                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = w(e); touched(nt) = h; nt += 1 }
+                      else vals(h) += w(e)
+                    }
+                    e += 1
+                  }
+                }
+                if (nt > 0) {
+                  // argmax over eligible candidates: same score expression
+                  // and (score, smaller community id) tie rule as the
+                  // Catalyst tiers; order-independent strict compare
+                  val vtotU = vt(s)
+                  val sglCur = bit(sglL, ccur)
+                  var wud = 0.0
+                  var bestC = -1
+                  var bestScore = 0.0
+                  var t = 0
+                  while (t < nt) {
+                    val h = touched(t)
+                    val c = keys(h)
+                    val wuc = vals(h)
+                    if (c == ccur) wud = wuc
+                    else if (!(sglCur && bit(sglL, c) && c > ccur)) {
+                      val score = wuc / m - res * vtotU * ct(c) / twoM2
+                      if (bestC < 0 || score > bestScore ||
+                          (score == bestScore && c < bestC)) {
+                        bestScore = score; bestC = c
+                      }
+                    }
+                    t += 1
+                  }
+                  if (bestC >= 0) {
+                    val mdq = bestScore - wud / m -
+                      res * vtotU * (vtotU - ct(ccur)) / twoM2
+                    if (mdq > 0) {
+                      if (nMv == mvCap) {
+                        mvCap *= 2
+                        mvPacked = java.util.Arrays.copyOf(mvPacked, mvCap)
+                        mvDq = java.util.Arrays.copyOf(mvDq, mvCap)
+                      }
+                      mvPacked(nMv) = (s.toLong << 32) | bestC.toLong
+                      mvDq(nMv) = mdq
+                      nMv += 1
+                    }
+                  }
+                }
+              }
+            }
+          }
+          k += 1
+        }
+        (java.util.Arrays.copyOf(mvPacked, nMv), java.util.Arrays.copyOf(mvDq, nMv))
+      }.collect()
+
+      var total = 0
+      out.foreach(p => total += p._1.length)
+      // non-moving sweep: frontier state untouched (legacy parity)
+      if (total == 0) return (0L, 0.0)
+      // synchronous apply, deterministic src-ascending order (src is the
+      // packed high word and unique per move, so sorting packed sorts src)
+      val packed = new Array[Long](total)
+      val dqs = new Array[Double](total)
+      var p = 0
+      out.foreach { case (mp, md) =>
+        var j = 0
+        while (j < mp.length) { packed(p) = mp(j); dqs(p) = md(j); p += 1; j += 1 }
+      }
+      // co-sort (packed, dq) by packed
+      val order = Array.range(0, total).sortBy(packed(_))
+      val mNew = new Array[Byte](st.nBytes)
+      var dq = 0.0
+      i = 0
+      while (i < total) {
+        val pk = packed(order(i))
+        val s = (pk >>> 32).toInt
+        st.comm(s) = pk & 0xFFFFFFFFL
+        mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
+        dq += dqs(order(i))
+        i += 1
+      }
+      // frontier fold: acc(p) := M, acc(1-p) |= M, seed of p consumed
+      Array.copy(mNew, 0, st.acc(parity), 0, st.nBytes)
+      val other = st.acc(1 - parity)
+      i = 0
+      while (i < st.nBytes) { other(i) = ((other(i) | mNew(i)) & 0xFF).toByte; i += 1 }
+      st.seedAlive(parity) = false
+      (total.toLong, dq)
+    } finally {
+      bcComm.destroy()
+    }
+  }
+
+  /** [[LocalMove.run]]'s exact termination rule over this tier. */
+  def run(st: CsrState, m: Double, resolution: Double, tolerance: Double,
+          maxIterations: Int, boundArr: Option[Array[Long]] = None,
+          refineSingletons: Boolean = false, minMoves: Long = 0L): (Int, Long) = {
+    val sc = st.csr.sparkContext
+    val bcBound = boundArr.map { b =>
+      val a = new Array[Int](st.n); var j = 0
+      while (j < st.n) { a(j) = b(j).toInt; j += 1 }
+      sc.broadcast(a)
+    }
+    try {
+      var it = 0
+      var totalMoves = 0L
+      var continue = true
+      while (continue && it < maxIterations) {
+        val (am, adq) = halfSweep(st, m, resolution, 0, bcBound, refineSingletons)
+        val (bm, bdq) = halfSweep(st, m, resolution, 1, bcBound, refineSingletons)
+        it += 1
+        totalMoves += am + bm
+        if (am + bm < math.max(1L, minMoves) || adq + bdq <= tolerance)
+          continue = false
+      }
+      (it, totalMoves)
+    } finally bcBound.foreach(_.destroy())
+  }
+}

@@ -206,7 +206,10 @@ object Leiden {
       // DataFrame tiers (they accept arbitrary labels).
       val warmInit = pass == firstPass && !resumed &&
         (seedMembership.isDefined || affected.isDefined)
-      val arrayState: Option[ArraySweep.ArrayState] =
+      // dense-gate init: (vt, comm0, bits0) shared by the driver-state
+      // tiers (ArraySweep / CsrSweep); None when the gate fails or a warm
+      // start's community labels escape the dense id space
+      val denseInit: Option[(Array[Double], Array[Long], Array[Byte])] =
         if (fBits > 0 && slots == 0 && fBits <= LocalMove.CtBroadcastMax) timed("mark") {
           val n = fBits
           val vt = new Array[Double](n)
@@ -224,13 +227,51 @@ object Leiden {
                   bits0((id >>> 3).toInt) =
                     (bits0((id >>> 3).toInt) | (1 << (id & 7).toInt)).toByte
               }
-              Some(ArraySweep.init(edges, n, vt, comm0, bits0))
+              Some((vt, comm0, bits0))
             } else None
-          } else Some(ArraySweep.singleton(edges, n, vt))
+          } else
+            Some((vt, Array.tabulate(n)(_.toLong),
+              Array.fill[Byte]((n + 7) / 8)(-1)))
         } else None
 
-      val (refMemb, iters, lMoves, rMoves) = arrayState match {
-        case Some(st) =>
+      // materialize a driver-array membership once, reusing vtot's id
+      // partitioning (no shuffle, one lookup per row)
+      def materialize(comm: Array[Long]): DataFrame = {
+        val bcRef = new graft.catalyst.BcLongs(spark.sparkContext.broadcast(comm))
+        val rm = PlanUtils.checkpointTruncated(vtot.select(col("id"),
+          org.apache.spark.sql.graft.NativeColumns
+            .bcLookupLong(bcRef, col("id")).as("comm")))
+        bcRef.bc.destroy()
+        rm
+      }
+
+      val (refMemb, iters, lMoves, rMoves) = denseInit match {
+        case Some((vt, comm0, bits0)) if opts.csrKernel =>
+          // packed-CSR fused kernel (CsrSweep scaladoc): one primitive-
+          // array pass per half-sweep, frontier folded into the same pass
+          val csr = timed("csrbuild") {
+            val c = CsrSweep.build(edges, fBits).cache()
+            c.count() // materialize here so sweep timings are pure
+            c
+          }
+          val st = CsrSweep.init(csr, fBits, vt, comm0, bits0)
+          val (lIt, lMv) = timed(if (pass == firstPass) "firstpass" else "move") {
+            CsrSweep.run(st, m, opts.resolution, tolerance,
+              opts.maxIterations, minMoves = minMoves)
+          }
+          val boundArr = st.resetToSingletons()
+          val (rIt, rMv) = timed("refine") {
+            CsrSweep.run(st, m, opts.resolution, tolerance,
+              opts.maxIterations, boundArr = Some(boundArr),
+              refineSingletons = true, minMoves = minMoves)
+          }
+          val rm = materialize(st.comm)
+          st.close()
+          csr.unpersist(blocking = false)
+          (rm, lIt + rIt, lMv, rMv)
+
+        case Some((vt, comm0, bits0)) =>
+          val st = ArraySweep.init(edges, fBits, vt, comm0, bits0)
           val (lIt, lMv) = timed(if (pass == firstPass) "firstpass" else "move") {
             ArraySweep.run(st, m, opts.resolution, tolerance,
               opts.maxIterations, minMoves = minMoves)
@@ -243,14 +284,7 @@ object Leiden {
               opts.maxIterations, boundArr = Some(boundArr),
               refineSingletons = true, minMoves = minMoves)
           }
-          // materialize the refined membership once, reusing vtot's id
-          // partitioning (no shuffle, one lookup per row)
-          val bcRef = new graft.catalyst.BcLongs(
-            spark.sparkContext.broadcast(st.comm))
-          val rm = PlanUtils.checkpointTruncated(vtot.select(col("id"),
-            org.apache.spark.sql.graft.NativeColumns
-              .bcLookupLong(bcRef, col("id")).as("comm")))
-          bcRef.bc.destroy()
+          val rm = materialize(st.comm)
           st.close()
           (rm, lIt + rIt, lMv, rMv)
 

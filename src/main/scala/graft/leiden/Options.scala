@@ -65,6 +65,18 @@ case class LeidenOptions(
       * Spark localCheckpoint only (no durability).
       */
     snapshotDir: Option[String] = None,
+    /** Route dense-gated passes through the packed-CSR fused kernel
+      * ([[CsrSweep]]) instead of the Catalyst array tier ([[ArraySweep]]).
+      * Same gate, decision-for-decision identical moves (LeidenSpec pins
+      * parity); trades the array tier's codegen'd columnar scan for
+      * 12 B/edge primitive blocks and folds the frontier update into the
+      * same single pass, cutting per-half-sweep DRAM traffic roughly 4x —
+      * the one-box bandwidth roofline is what caps N->4N core scaling
+      * (BENCH.md). Default on: parity is pinned at half-sweep, run and
+      * end-to-end levels (LeidenSpec) and bit-identical on a 4.8M-edge
+      * Cli run (Q=0.2073758011042955 both paths, 2.8x faster wall-clock).
+      */
+    csrKernel: Boolean = true,
     /** > 0 enables the partition-local CSR first pass (LocalFirstPass,
       * SURVEY P4): each src-partition runs this many asynchronous local
       * sweeps against stale remote state, and the result seeds pass 0 the

@@ -186,6 +186,97 @@ class LeidenSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("packed-CSR half-sweep equals the legacy sweep from a blocked state") {
+    val rnd = new Random(7)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 400; b <- a + 1 until 400)
+      if (rnd.nextDouble() < (if ((a / 40) == (b / 40)) 0.25 else 0.01))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    val st0 = vw.select(col("id"), pmod(col("id"), lit(16)).as("comm"),
+      col("vtot"), lit(true).as("aff"))
+    val vt = new Array[Double](400)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+    def memb(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val realIds = vw.select("id").collect().map(_.getLong(0))
+    val csr = CsrSweep.build(edges, 400).cache()
+    for (parity <- 0 to 1) {
+      val legacy = LocalMove.sweep(edges, st0, m, 1.0, parity)
+      val comm0 = (0 until 400).map(i => (i % 16).toLong).toArray
+      val st = CsrSweep.init(csr, 400, vt, comm0, Array.fill[Byte](50)(-1))
+      val (mvC, _) = CsrSweep.halfSweep(st, m, 1.0, parity)
+      assert(mvC === legacy.moves, s"parity=$parity")
+      val legacyM = memb(legacy.state)
+      realIds.foreach { id =>
+        assert(st.comm(id.toInt) === legacyM(id), s"id=$id parity=$parity")
+      }
+      st.close()
+    }
+    csr.unpersist(); edges.unpersist()
+  }
+
+  test("packed-CSR tier equals the array tier across move and refine phases") {
+    // full-run parity including the non-moving half-sweeps near
+    // convergence: the folded frontier (acc/seedAlive algebra) must visit
+    // the same iteration count, move counts, and final membership as the
+    // array tier's explicit bits recurrence
+    val rnd = new Random(19)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (rnd.nextDouble() < (if ((a / 30) == (b / 30)) 0.3 else 0.015))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    val vt = new Array[Double](300)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+
+    val stA = ArraySweep.singleton(edges, 300, vt)
+    val (itMA, mvMA) = ArraySweep.run(stA, m, 1.0, 1e-9, 50)
+    val boundA = stA.resetToSingletons()
+    val (itRA, mvRA) = ArraySweep.run(stA, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundA), refineSingletons = true)
+
+    val csr = CsrSweep.build(edges, 300).cache()
+    val stC = CsrSweep.singleton(csr, 300, vt)
+    val (itMC, mvMC) = CsrSweep.run(stC, m, 1.0, 1e-9, 50)
+    assert(itMC === itMA); assert(mvMC === mvMA)
+    val boundC = stC.resetToSingletons()
+    assert(boundC.toSeq === boundA.toSeq)
+    val (itRC, mvRC) = CsrSweep.run(stC, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundC), refineSingletons = true)
+    assert(itRC === itRA); assert(mvRC === mvRA)
+    assert(stC.comm.toSeq === stA.comm.toSeq)
+    stA.close(); stC.close()
+    csr.unpersist(); edges.unpersist()
+  }
+
+  test("csrKernel end-to-end Leiden equals the array-tier run across passes") {
+    // multi-pass detect parity: coarsened passes arrive (src,dst)-hash
+    // partitioned, exercising build()'s repartition-to-src requirement;
+    // localSolveEdgeThreshold = 0 keeps every pass on the distributed tiers
+    val rnd = new Random(23)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 360; b <- a + 1 until 360)
+      if (rnd.nextDouble() < (if ((a / 24) == (b / 24)) 0.35 else 0.008))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+    val base = LeidenOptions(localSolveEdgeThreshold = 0)
+    val ra = Leiden.detect(edges, base.copy(csrKernel = false))
+    val rc = Leiden.detect(edges, base.copy(csrKernel = true))
+    assert(rc.iterations === ra.iterations)
+    assert(rc.passes === ra.passes)
+    assert(rc.communities === ra.communities)
+    assert(rc.modularity === ra.modularity)
+    assert(rc.membership.except(ra.membership).count() === 0L)
+    assert(ra.membership.except(rc.membership).count() === 0L)
+  }
+
   test("frontier-bitmap run equals the column-path run across full phases") {
     // multi-iteration LocalMove.run parity: the bitmap tier must converge
     // through the SAME states (same iterations, moves, membership) as the
