@@ -58,8 +58,12 @@ object Bench {
                                 membershipOverride: Option[Boolean] = None,
                                 csrKernel: Boolean =
                                   sys.env.get("SPARK_GRAFT_SWEEP_KERNEL").contains("csr")): (Double, Long, Double) = {
-    // src-partitioned main cache, exactly as Leiden.detect builds it
-    val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts))
+    // src-partitioned main cache, exactly as Leiden.detect builds it.
+    // SPARK_GRAFT_BENCH_DEG sets the fixture's out-degree (default 8 ⇒
+    // E/V≈16 symmetrized); production web graphs run E/V≈40-80, which the
+    // scaling legs use to measure the kernel at representative density.
+    val deg = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEG", "8").toInt
+    val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, nVerts, deg))
       .repartition(col("src")).cache()
     val e = edges.count()
     val bcCt = broadcastCtOverride.getOrElse(nVerts <= LocalMove.CtBroadcastMax)

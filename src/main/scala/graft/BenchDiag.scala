@@ -74,6 +74,46 @@ object BenchDiag {
     val spark = Sessions.local(cpus, s"graft-diag-$cpus")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (sys.env.get("SPARK_GRAFT_DIAG_MODE").contains("csr")) {
+      // CSR-tier serial-term decomposition: same measurement window as the
+      // Bench csr leg, with CsrSweep.Timers splitting each half-sweep into
+      // broadcast / kernel-job / driver-apply / destroy
+      val deg = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEG", "8").toInt
+      val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, verts, deg))
+        .repartition(col("src")).cache()
+      val e = edges.count()
+      val m = EdgeTable.totalWeight(edges) / 2
+      val vtot = PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
+      val n = verts.toInt
+      val vt = new Array[Double](n)
+      vtot.select("id", "vtot").collect()
+        .foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+      val csr = graft.leiden.CsrSweep.build(edges, n).cache()
+      csr.count()
+      val st = graft.leiden.CsrSweep.singleton(csr, n, vt)
+      graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 0)
+      val snap = st.snapshot()
+      for (rep <- 1 to 3) {
+        st.restore(snap)
+        graft.leiden.CsrSweep.Timers.reset()
+        val t0 = System.nanoTime()
+        var done = 0
+        while (done < iters) {
+          graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 1)
+          graft.leiden.CsrSweep.halfSweep(st, m, 1.0, 0)
+          done += 1
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"""{"diag":"csr","rep":$rep,"cpus":$cpus,"edges":$e,"iters":$iters,""" +
+          s""""wall_secs":${"%.3f".format(wall)},""" +
+          s""""eps":${"%.0f".format(e.toDouble * iters / wall)},""" +
+          s""""timers":${graft.leiden.CsrSweep.Timers.json}}""")
+      }
+      st.close()
+      spark.stop()
+      return
+    }
+
     val edges = EdgeTable.canonicalize(Cli.fixtureEdges(spark, verts))
       .repartition(col("src")).cache()
     val e = edges.count()

@@ -66,6 +66,33 @@ import org.apache.spark.sql.functions.col
   */
 object CsrSweep {
 
+  /** Cumulative per-component wall nanos of every [[halfSweep]] — the
+    * sweep's serial driver sections are the Amdahl term of the N->4N
+    * scaling witness, so they stay permanently instrumented (5 nanoTime
+    * reads per half-sweep; reset + read from BenchDiag's csr mode).
+    */
+  object Timers {
+    val bcast = new java.util.concurrent.atomic.AtomicLong // commI build + broadcast
+    val job = new java.util.concurrent.atomic.AtomicLong   // kernel job incl. collect
+    val apply = new java.util.concurrent.atomic.AtomicLong // move apply + dq + frontier fold
+    val destroy = new java.util.concurrent.atomic.AtomicLong
+    val sweeps = new java.util.concurrent.atomic.AtomicLong
+    // executor-side (meaningful in local mode only: same JVM): summed
+    // ACROSS tasks, so divide by parallelism for wall attribution
+    val kernelTask = new java.util.concurrent.atomic.AtomicLong
+    val deriveTask = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = {
+      bcast.set(0); job.set(0); apply.set(0); destroy.set(0); sweeps.set(0)
+      kernelTask.set(0); deriveTask.set(0)
+    }
+    def json: String =
+      s"""{"half_sweeps":${sweeps.get},"bcast_secs":${"%.3f".format(bcast.get / 1e9)},""" +
+      s""""job_secs":${"%.3f".format(job.get / 1e9)},"apply_secs":${"%.3f".format(apply.get / 1e9)},""" +
+      s""""destroy_secs":${"%.3f".format(destroy.get / 1e9)},""" +
+      s""""kernel_task_sum_secs":${"%.3f".format(kernelTask.get / 1e9)},""" +
+      s""""derive_task_sum_secs":${"%.3f".format(deriveTask.get / 1e9)}}"""
+  }
+
   /** One partition's edges, packed: `srcs` ascending distinct, CSR
     * offsets into `dst`/`w`. Self-loops retained (the frontier test needs
     * them); the candidate accumulation skips them, matching the scan
@@ -146,6 +173,10 @@ object CsrSweep {
     val nBytes: Int = (n + 7) / 8
     val acc: Array[Array[Byte]] =
       Array(new Array[Byte](nBytes), new Array[Byte](nBytes))
+    // per-half-sweep scratch (allocated once; the apply is the serial
+    // driver section of every half-sweep, so it must not sort or allocate)
+    private[CsrSweep] val mvScratch = new Array[Byte](nBytes)
+    private[CsrSweep] val dqScratch = new Array[Double](n)
     val seedAlive: Array[Boolean] = Array(true, true)
     private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
       csr.sparkContext.broadcast(vtot)
@@ -203,19 +234,31 @@ object CsrSweep {
   private def derive(comm: Array[Int], vt: Array[Double]): (Array[Double], Array[Byte]) = {
     val got = derivMemo.get(comm)
     if (got != null) return got
-    val n = comm.length
-    val ctot = new Array[Double](n)
-    val csize = new Array[Int](n)
-    var i = 0
-    while (i < n) { val c = comm(i); ctot(c) += vt(i); csize(c) += 1; i += 1 }
-    val sgl = new Array[Byte]((n + 7) / 8)
-    i = 0
-    while (i < n) {
-      if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
-      i += 1
+    // single-flight per broadcast value: every task of a half-sweep sees
+    // the same deserialized array instance, so locking it makes exactly
+    // ONE task compute the O(V) scatter while the rest block ~ms. Without
+    // this, all P concurrent tasks raced through the cold memo and each
+    // ran the cache-hostile scatter — wasted work GROWING with core count
+    // (measured: 32 cores spent 2.1s/half-sweep of summed derive time vs
+    // 0.45s at 8, inverting the scaling the memo exists to protect).
+    comm.synchronized {
+      val again = derivMemo.get(comm)
+      if (again != null) return again
+      val n = comm.length
+      val ctot = new Array[Double](n)
+      val csize = new Array[Int](n)
+      var i = 0
+      while (i < n) { val c = comm(i); ctot(c) += vt(i); csize(c) += 1; i += 1 }
+      val sgl = new Array[Byte]((n + 7) / 8)
+      i = 0
+      while (i < n) {
+        if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
+        i += 1
+      }
+      val r = (ctot, sgl)
+      derivMemo.put(comm, r)
+      r
     }
-    derivMemo.put(comm, (ctot, sgl))
-    (ctot, sgl)
   }
 
   private def hasParityBits(b: Array[Byte], parity: Int): Boolean = {
@@ -244,12 +287,16 @@ object CsrSweep {
     if (allZero(st.acc(parity)) && !(useSeed && hasParityBits(st.seed, parity)))
       return (0L, 0.0)
     val sc = st.csr.sparkContext
+    val tT0 = System.nanoTime()
     // the ONLY per-half-sweep broadcast: membership as Int (dense ids
     // < n <= 4M) — ctot/sgl are derived executor-side from it (derive())
     val commI = new Array[Int](n)
     var i = 0
     while (i < n) { commI(i) = st.comm(i).toInt; i += 1 }
     val bcComm = sc.broadcast(commI)
+    val tT1 = System.nanoTime()
+    Timers.bcast.addAndGet(tT1 - tT0)
+    Timers.sweeps.incrementAndGet()
     val bcVtot = st.bcVtot
     val seedL = if (useSeed) st.seed else null
     val accL = st.acc(parity)
@@ -259,8 +306,11 @@ object CsrSweep {
     val refine = refineSingletons
     try {
       val out = st.csr.map { blk =>
+        val tk0 = System.nanoTime()
         val comm = bcComm.value; val vt = bcVtot.value
         val (ct, sglL) = derive(comm, vt)
+        val tk1 = System.nanoTime()
+        Timers.deriveTask.addAndGet(tk1 - tk0)
         val bnd = bcBound.map(_.value).orNull
         // per-src scratch: open-address cdst -> wuc map, cleared via a
         // touched list; stays L1-sized for all but hub vertices
@@ -386,33 +436,43 @@ object CsrSweep {
           }
           k += 1
         }
+        Timers.kernelTask.addAndGet(System.nanoTime() - tk1)
         (java.util.Arrays.copyOf(mvPacked, nMv), java.util.Arrays.copyOf(mvDq, nMv))
       }.collect()
+      val tT2 = System.nanoTime()
+      Timers.job.addAndGet(tT2 - tT1)
 
       var total = 0
       out.foreach(p => total += p._1.length)
       // non-moving sweep: frontier state untouched (legacy parity)
       if (total == 0) return (0L, 0.0)
-      // synchronous apply, deterministic src-ascending order (src is the
-      // packed high word and unique per move, so sorting packed sorts src)
-      val packed = new Array[Long](total)
-      val dqs = new Array[Double](total)
-      var p = 0
+      // synchronous apply without a sort: each src moves at most once per
+      // half-sweep, so comm writes are disjoint (order-free); the dq terms
+      // scatter into an O(V) scratch and are then summed by ascending src
+      // via the moved bitmap — the same fp order as the sorted apply this
+      // replaces, at O(V/8 + moves) instead of a boxed O(M log M) sort
+      // (which was the dominant serial term of every early half-sweep)
+      val mNew = st.mvScratch
+      java.util.Arrays.fill(mNew, 0.toByte)
       out.foreach { case (mp, md) =>
         var j = 0
-        while (j < mp.length) { packed(p) = mp(j); dqs(p) = md(j); p += 1; j += 1 }
+        while (j < mp.length) {
+          val pk = mp(j)
+          val s = (pk >>> 32).toInt
+          st.comm(s) = pk & 0xFFFFFFFFL
+          st.dqScratch(s) = md(j)
+          mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
+          j += 1
+        }
       }
-      // co-sort (packed, dq) by packed
-      val order = Array.range(0, total).sortBy(packed(_))
-      val mNew = new Array[Byte](st.nBytes)
       var dq = 0.0
       i = 0
-      while (i < total) {
-        val pk = packed(order(i))
-        val s = (pk >>> 32).toInt
-        st.comm(s) = pk & 0xFFFFFFFFL
-        mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
-        dq += dqs(order(i))
+      while (i < st.nBytes) {
+        var b = mNew(i) & 0xFF
+        while (b != 0) {
+          dq += st.dqScratch((i << 3) + Integer.numberOfTrailingZeros(b))
+          b &= b - 1
+        }
         i += 1
       }
       // frontier fold: acc(p) := M, acc(1-p) |= M, seed of p consumed
@@ -421,9 +481,12 @@ object CsrSweep {
       i = 0
       while (i < st.nBytes) { other(i) = ((other(i) | mNew(i)) & 0xFF).toByte; i += 1 }
       st.seedAlive(parity) = false
+      Timers.apply.addAndGet(System.nanoTime() - tT2)
       (total.toLong, dq)
     } finally {
+      val d0 = System.nanoTime()
       bcComm.destroy()
+      Timers.destroy.addAndGet(System.nanoTime() - d0)
     }
   }
 
