@@ -163,9 +163,26 @@ object CsrSweep {
     }, preservesPartitioning = true)
   }
 
+  /** Deep-copy of a state's mutable members (bench repetition restarts). */
+  final case class Snap(comm: Array[Long], acc0: Array[Byte], acc1: Array[Byte],
+                        seedAlive: Array[Boolean], commI: Array[Int],
+                        ctot: Array[Double], csize: Array[Int], sgl: Array[Byte])
+
   /** Driver-held sweep state for this tier: membership + the folded
     * frontier (scaladoc algebra). `vtot` broadcasts once per state
     * lifetime (it never changes within a phase); `bound` once per run.
+    *
+    * Community totals live HERE, maintained incrementally by the apply
+    * loop (O(moves) per half-sweep), whenever `vtot` is integral — then
+    * every ±vt(s) update is an exact double operation (web graphs and
+    * every coarsened pass of an integer-weight input qualify), so the
+    * incremental totals are bit-identical to the ascending-vertex scratch
+    * rebuild they replace. The kernel receives them in the per-sweep
+    * broadcast instead of re-deriving O(V) totals behind a single-flight
+    * barrier that every task of every half-sweep had to wait out (the
+    * dominant serial Amdahl term of the N->4N scaling witness after the
+    * kernel itself was measured to scale core-linearly). Non-integral
+    * weights keep the executor-side scratch derive.
     */
   final class CsrState(val csr: RDD[CsrBlock], val n: Int,
                        val vtot: Array[Double], val comm: Array[Long],
@@ -180,15 +197,49 @@ object CsrSweep {
     val seedAlive: Array[Boolean] = Array(true, true)
     private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
       csr.sparkContext.broadcast(vtot)
+    /** All weight mass integral => incremental totals are exact. */
+    val integral: Boolean = {
+      var i = 0; var ok = true
+      while (ok && i < n) { ok = vtot(i) == math.rint(vtot(i)); i += 1 }
+      ok
+    }
+    // Int mirror of `comm` (dense ids < n <= 4M): the per-sweep broadcast
+    // payload, updated by the same O(moves) apply — no O(V) rebuild/copy
+    private[CsrSweep] val commI: Array[Int] = {
+      val a = new Array[Int](n); var i = 0
+      while (i < n) { a(i) = comm(i).toInt; i += 1 }
+      a
+    }
+    private[CsrSweep] val ctot = new Array[Double](n)
+    private[CsrSweep] val csize = new Array[Int](n)
+    private[CsrSweep] val sgl = new Array[Byte](nBytes)
+    rebuildTotals()
+    /** Scratch rebuild, ascending-vertex order (init / restore / reset). */
+    private[CsrSweep] def rebuildTotals(): Unit = {
+      java.util.Arrays.fill(ctot, 0.0)
+      java.util.Arrays.fill(csize, 0)
+      java.util.Arrays.fill(sgl, 0.toByte)
+      var i = 0
+      while (i < n) { val c = commI(i); ctot(c) += vtot(i); csize(c) += 1; i += 1 }
+      i = 0
+      while (i < n) {
+        if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
+        i += 1
+      }
+    }
     def close(): Unit = bcVtot.destroy()
-    /** Deep-copy of the mutable members (bench repetition restarts). */
-    def snapshot(): (Array[Long], Array[Byte], Array[Byte], Array[Boolean]) =
-      (comm.clone(), acc(0).clone(), acc(1).clone(), seedAlive.clone())
-    def restore(s: (Array[Long], Array[Byte], Array[Byte], Array[Boolean])): Unit = {
-      Array.copy(s._1, 0, comm, 0, n)
-      Array.copy(s._2, 0, acc(0), 0, nBytes)
-      Array.copy(s._3, 0, acc(1), 0, nBytes)
-      seedAlive(0) = s._4(0); seedAlive(1) = s._4(1)
+    def snapshot(): Snap =
+      Snap(comm.clone(), acc(0).clone(), acc(1).clone(), seedAlive.clone(),
+        commI.clone(), ctot.clone(), csize.clone(), sgl.clone())
+    def restore(s: Snap): Unit = {
+      Array.copy(s.comm, 0, comm, 0, n)
+      Array.copy(s.acc0, 0, acc(0), 0, nBytes)
+      Array.copy(s.acc1, 0, acc(1), 0, nBytes)
+      seedAlive(0) = s.seedAlive(0); seedAlive(1) = s.seedAlive(1)
+      Array.copy(s.commI, 0, commI, 0, n)
+      Array.copy(s.ctot, 0, ctot, 0, n)
+      Array.copy(s.csize, 0, csize, 0, n)
+      Array.copy(s.sgl, 0, sgl, 0, nBytes)
     }
     /** Re-init to singletons for the refinement phase, reusing this
       * state's vtot broadcast; returns the previous membership (the
@@ -197,11 +248,12 @@ object CsrSweep {
     def resetToSingletons(): Array[Long] = {
       val prev = comm.clone()
       var i = 0
-      while (i < n) { comm(i) = i.toLong; i += 1 }
+      while (i < n) { comm(i) = i.toLong; commI(i) = i; i += 1 }
       java.util.Arrays.fill(seed, -1.toByte)
       java.util.Arrays.fill(acc(0), 0.toByte)
       java.util.Arrays.fill(acc(1), 0.toByte)
       seedAlive(0) = true; seedAlive(1) = true
+      rebuildTotals()
       prev
     }
   }
@@ -288,12 +340,19 @@ object CsrSweep {
       return (0L, 0.0)
     val sc = st.csr.sparkContext
     val tT0 = System.nanoTime()
-    // the ONLY per-half-sweep broadcast: membership as Int (dense ids
-    // < n <= 4M) — ctot/sgl are derived executor-side from it (derive())
-    val commI = new Array[Int](n)
-    var i = 0
-    while (i < n) { commI(i) = st.comm(i).toInt; i += 1 }
-    val bcComm = sc.broadcast(commI)
+    // per-half-sweep broadcast: the Int membership mirror (dense ids
+    // < n <= 4M), plus — on the integral-weight path — the driver-
+    // maintained totals, so no task ever derives them. Broadcasting the
+    // live arrays is safe: TorrentBroadcast serializes at construction
+    // (cluster mode snapshots here), and in local mode every task of this
+    // half-sweep completes inside collect() below, strictly before the
+    // apply loop mutates them.
+    // non-integral path derives totals executor-side, memoized by array
+    // INSTANCE — ship a fresh clone per sweep so an in-place-mutated
+    // commI can never hit a stale memo entry
+    val bcComm = sc.broadcast(if (st.integral) st.commI else st.commI.clone())
+    val bcTot: Broadcast[(Array[Double], Array[Byte])] =
+      if (st.integral) sc.broadcast((st.ctot, st.sgl)) else null
     val tT1 = System.nanoTime()
     Timers.bcast.addAndGet(tT1 - tT0)
     Timers.sweeps.incrementAndGet()
@@ -308,7 +367,7 @@ object CsrSweep {
       val out = st.csr.map { blk =>
         val tk0 = System.nanoTime()
         val comm = bcComm.value; val vt = bcVtot.value
-        val (ct, sglL) = derive(comm, vt)
+        val (ct, sglL) = if (bcTot != null) bcTot.value else derive(comm, vt)
         val tk1 = System.nanoTime()
         Timers.deriveTask.addAndGet(tk1 - tk0)
         val bnd = bcBound.map(_.value).orNull
@@ -454,19 +513,39 @@ object CsrSweep {
       // (which was the dominant serial term of every early half-sweep)
       val mNew = st.mvScratch
       java.util.Arrays.fill(mNew, 0.toByte)
+      val inc = st.integral // incremental totals (exact: integral weights)
       out.foreach { case (mp, md) =>
         var j = 0
         while (j < mp.length) {
           val pk = mp(j)
           val s = (pk >>> 32).toInt
-          st.comm(s) = pk & 0xFFFFFFFFL
+          val to = (pk & 0xFFFFFFFFL).toInt
+          if (inc) {
+            val from = st.commI(s)
+            val vts = st.vtot(s)
+            st.ctot(from) -= vts
+            st.ctot(to) += vts
+            val fs = st.csize(from) - 1
+            st.csize(from) = fs
+            // singleton bit: set iff the community's size is exactly 1
+            // after EACH update — `to` can go 0 -> 1 when earlier movers
+            // of this same apply batch drained it first
+            if (fs == 1) st.sgl(from >> 3) = (st.sgl(from >> 3) | (1 << (from & 7))).toByte
+            else st.sgl(from >> 3) = (st.sgl(from >> 3) & ~(1 << (from & 7))).toByte
+            val ts = st.csize(to) + 1
+            st.csize(to) = ts
+            if (ts == 1) st.sgl(to >> 3) = (st.sgl(to >> 3) | (1 << (to & 7))).toByte
+            else st.sgl(to >> 3) = (st.sgl(to >> 3) & ~(1 << (to & 7))).toByte
+          }
+          st.comm(s) = to.toLong
+          st.commI(s) = to
           st.dqScratch(s) = md(j)
           mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
           j += 1
         }
       }
       var dq = 0.0
-      i = 0
+      var i = 0
       while (i < st.nBytes) {
         var b = mNew(i) & 0xFF
         while (b != 0) {
@@ -486,6 +565,7 @@ object CsrSweep {
     } finally {
       val d0 = System.nanoTime()
       bcComm.destroy()
+      if (bcTot != null) bcTot.destroy()
       Timers.destroy.addAndGet(System.nanoTime() - d0)
     }
   }
