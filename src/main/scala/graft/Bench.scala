@@ -57,7 +57,10 @@ object Bench {
                                 broadcastCtOverride: Option[Boolean] = None,
                                 membershipOverride: Option[Boolean] = None,
                                 csrKernel: Boolean =
-                                  sys.env.get("SPARK_GRAFT_SWEEP_KERNEL").contains("csr")): (Double, Long, Double) = {
+                                  // default = the tier Leiden.detect actually runs on dense
+                                  // passes (LeidenOptions.csrKernel=true); opt back into the
+                                  // Catalyst array tier with SPARK_GRAFT_SWEEP_KERNEL=array
+                                  !sys.env.get("SPARK_GRAFT_SWEEP_KERNEL").contains("array")): (Double, Long, Double) = {
     // src-partitioned main cache, exactly as Leiden.detect builds it.
     // SPARK_GRAFT_BENCH_DEG sets the fixture's out-degree (default 8 ⇒
     // E/V≈16 symmetrized); production web graphs run E/V≈40-80, which the
@@ -239,6 +242,9 @@ object Bench {
       // fixtures; a 3s-per-level locality wait would serialize any
       // imbalance onto one executor instead of reading remotely
       "--conf", "spark.locality.wait=0s",
+      // match Sessions.configure: the per-half-sweep O(V) broadcast is
+      // near-incompressible; lz4 is pure serial driver cost over loopback
+      "--conf", "spark.broadcast.compress=false",
       jar.toString)
     pb.directory(new java.io.File(System.getProperty("java.io.tmpdir")))
     pb.environment().put("SPARK_GRAFT_SCALE_OUT", out.toString)

@@ -21,6 +21,11 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The Leiden sweep broadcasts O(V) membership+totals every half-sweep;
+      // lz4-ing ~24 MB of near-incompressible doubles is a pure serial
+      // driver cost on one box (and over loopback executors). On a real
+      // multi-node cluster the submitter re-enables it if network-bound.
+      .config("spark.broadcast.compress", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

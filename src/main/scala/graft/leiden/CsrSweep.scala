@@ -97,23 +97,46 @@ object CsrSweep {
     * offsets into `dst`/`w`. Self-loops retained (the frontier test needs
     * them); the candidate accumulation skips them, matching the scan
     * tiers' `src =!= dst`.
+    *
+    * Bandwidth diet (the kernel is DRAM-bound, so bytes ARE wall-clock):
+    *   - `w == null` means every weight in the block is exactly 1.0 —
+    *     pass 0 of any unweighted web graph — and the kernel streams
+    *     4 B/edge instead of 12 B/edge.
+    *   - each src's adjacency is SORTED by dst, so the per-edge random
+    *     `comm(dst)` load walks the membership table in ascending order
+    *     per vertex (line reuse within and across srcs) instead of
+    *     scattering over the full 4·V-byte table.
+    * Sorting reorders the candidate accumulation within a src; on the
+    * exact-weight classes the tiers guarantee parity for (integers and
+    * binary fractions — every fixture and every coarsened pass of one)
+    * double addition is associative here, so decisions are unchanged.
     */
   final case class CsrBlock(srcs: Array[Int], off: Array[Int],
                             dst: Array[Int], w: Array[Double])
 
   /** Pack the edge cache into per-partition CSR blocks — one job per
     * phase, cached deserialized by the caller. The per-block argmax is
-    * per-src-complete, so all edges of a src MUST land in one partition:
-    * the explicit `repartition(src)` below guarantees it for any input
-    * (coarsened passes arrive (src,dst)-partitioned), and EnsureRequirements
-    * elides the exchange when the pass cache is already hash(src)
-    * partitioned (pass 0's is — one narrow projection, zero shuffles).
-    * Row order within a src is deterministic for a given partitioning, so
-    * integer-weight sums are exact and float-weight sums follow one fixed
-    * order.
+    * per-src-complete, so all edges of a src MUST land in one partition.
+    *
+    * Blocks are RANGE-partitioned by src with ~equal EDGES per block
+    * (RangePartitioner balances row counts via sampling; equal keys stay
+    * cohesive): web graphs are hub-heavy, and hash(src) blocks put a
+    * mega-hub's whole adjacency plus its 1/P share of everything else in
+    * one task — the straggler that set every half-sweep's job wall (the
+    * north rule's "salting for high-degree hub vertices" concern, solved
+    * here by balancing rather than salting because the fused argmax needs
+    * per-src completeness). ~2 blocks per core bound the tail without
+    * drowning in task-launch overhead; sampling boundaries vary run to
+    * run, but results don't depend on block composition (per-src
+    * accumulation is dst-sorted within one block, moves apply disjointly
+    * by src, dq sums in ascending-src order on the driver).
     */
-  def build(edges: DataFrame, n: Int): RDD[CsrBlock] = {
-    val rows = edges.repartition(col("src"))
+  def build(edges: DataFrame, n: Int, parts: Int = 0): RDD[CsrBlock] = {
+    val p =
+      if (parts > 0) parts
+      else edges.sparkSession.sparkContext.defaultParallelism *
+        sys.env.getOrElse("SPARK_GRAFT_CSR_PARTS_MULT", "2").toInt
+    val rows = edges.repartitionByRange(p, col("src"))
       .select(col("src").cast("int"), col("dst").cast("int"),
         col("w").cast("double"))
       .queryExecution.toRdd
@@ -132,34 +155,79 @@ object CsrSweep {
         ss(m) = r.getInt(0); dd(m) = r.getInt(1); ww(m) = r.getDouble(2)
         m += 1
       }
-      // bucket by src via an n-sized degree array (build-time only)
-      val deg = new Array[Int](n)
+      if (m == 0) Iterator.empty
+      else {
+      // bucket by src via a src-span-sized degree array (build-time only;
+      // range partitioning makes the local span ~n/P, not n)
+      var lo = Int.MaxValue; var hi = Int.MinValue
       var i = 0
-      while (i < m) { deg(ss(i)) += 1; i += 1 }
+      while (i < m) { val s = ss(i); if (s < lo) lo = s; if (s > hi) hi = s; i += 1 }
+      val span = hi - lo + 1
+      val deg = new Array[Int](span)
+      i = 0
+      while (i < m) { deg(ss(i) - lo) += 1; i += 1 }
       var nSrc = 0
       i = 0
-      while (i < n) { if (deg(i) > 0) nSrc += 1; i += 1 }
+      while (i < span) { if (deg(i) > 0) nSrc += 1; i += 1 }
       val srcs = new Array[Int](nSrc)
       val off = new Array[Int](nSrc + 1)
-      val start = new Array[Int](n) // running write cursor per src
+      val start = new Array[Int](span) // running write cursor per src
       var k = 0; var acc = 0
       i = 0
-      while (i < n) {
+      while (i < span) {
         if (deg(i) > 0) {
-          srcs(k) = i; off(k) = acc; start(i) = acc
+          srcs(k) = i + lo; off(k) = acc; start(i) = acc
           acc += deg(i); k += 1
         }
         i += 1
       }
       off(nSrc) = acc
       val dstA = new Array[Int](m); val wA = new Array[Double](m)
+      var unit = true
       i = 0
       while (i < m) {
-        val s = ss(i); val p = start(s)
-        dstA(p) = dd(i); wA(p) = ww(i); start(s) = p + 1
+        val s = ss(i) - lo; val pos = start(s)
+        dstA(pos) = dd(i); wA(pos) = ww(i); start(s) = pos + 1
+        if (ww(i) != 1.0) unit = false
         i += 1
       }
-      Iterator.single(CsrBlock(srcs, off, dstA, wA))
+      // sort each adjacency by dst (scaladoc: membership-lookup locality).
+      // Unit blocks sort dst alone; weighted blocks sort (dst, slot) keys
+      // packed in longs and permute w through a slice-sized scratch.
+      if (unit) {
+        k = 0
+        while (k < nSrc) { java.util.Arrays.sort(dstA, off(k), off(k + 1)); k += 1 }
+        Iterator.single(CsrBlock(srcs, off, dstA, null))
+      } else {
+        var maxDeg = 0
+        k = 0
+        while (k < nSrc) { val d = off(k + 1) - off(k); if (d > maxDeg) maxDeg = d; k += 1 }
+        val key = new Array[Long](maxDeg)
+        val wTmp = new Array[Double](maxDeg)
+        k = 0
+        while (k < nSrc) {
+          val e0 = off(k); val e1 = off(k + 1); val len = e1 - e0
+          if (len > 1) {
+            var j = 0
+            while (j < len) {
+              key(j) = (dstA(e0 + j).toLong << 32) | j.toLong
+              wTmp(j) = wA(e0 + j)
+              j += 1
+            }
+            java.util.Arrays.sort(key, 0, len)
+            j = 0
+            while (j < len) {
+              val kk = key(j)
+              dstA(e0 + j) = (kk >>> 32).toInt
+              wA(e0 + j) = wTmp((kk & 0xFFFFFFFFL).toInt)
+              j += 1
+            }
+          }
+          k += 1
+        }
+        Iterator.single(CsrBlock(srcs, off, dstA, wA))
+      }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -407,7 +475,8 @@ object CsrSweep {
         var mvPacked = new Array[Long](mvCap)
         var mvDq = new Array[Double](mvCap)
         var nMv = 0
-        val srcs = blk.srcs; val off = blk.off; val dst = blk.dst; val w = blk.w
+        val srcs = blk.srcs; val off = blk.off; val dst = blk.dst
+        val w = blk.w // null => all 1.0 (unit-weight block, 4 B/edge)
         var k = 0
         while (k < srcs.length) {
           val s = srcs(k)
@@ -432,9 +501,10 @@ object CsrSweep {
                     val d = dst(e)
                     if (d != s) {
                       if ((nt + 1) * 2 > cap) grow()
+                      val we = if (w == null) 1.0 else w(e)
                       val h = slot(comm(d))
-                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = w(e); touched(nt) = h; nt += 1 }
-                      else vals(h) += w(e)
+                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = we; touched(nt) = h; nt += 1 }
+                      else vals(h) += we
                     }
                     e += 1
                   }
@@ -444,9 +514,10 @@ object CsrSweep {
                     val d = dst(e)
                     if (d != s && bnd(d) == bs) {
                       if ((nt + 1) * 2 > cap) grow()
+                      val we = if (w == null) 1.0 else w(e)
                       val h = slot(comm(d))
-                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = w(e); touched(nt) = h; nt += 1 }
-                      else vals(h) += w(e)
+                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = we; touched(nt) = h; nt += 1 }
+                      else vals(h) += we
                     }
                     e += 1
                   }

@@ -256,6 +256,45 @@ class LeidenSpec extends SparkSpec {
     csr.unpersist(); edges.unpersist()
   }
 
+  test("packed-CSR tier equals the array tier on NON-integral weights") {
+    // fractional weights fail CsrState.integral, putting every half-sweep
+    // on the executor-side memoized derive path (CsrSweep.derive) with a
+    // cloned membership per sweep — the branch the incremental driver
+    // totals do NOT cover. Parity with the array tier across move+refine
+    // proves the clone-per-sweep rule: a stale memo entry (in-place-mutated
+    // commI reused as a key) would surface as diverged totals here.
+    val rnd = new Random(31)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (rnd.nextDouble() < (if ((a / 30) == (b / 30)) 0.3 else 0.015))
+        es += ((a.toLong, b.toLong, 0.25 + (a * 31 + b) % 7 * 0.125))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    val vt = new Array[Double](300)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+
+    val stA = ArraySweep.singleton(edges, 300, vt)
+    val (itMA, mvMA) = ArraySweep.run(stA, m, 1.0, 1e-9, 50)
+    val boundA = stA.resetToSingletons()
+    val (itRA, mvRA) = ArraySweep.run(stA, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundA), refineSingletons = true)
+
+    val csr = CsrSweep.build(edges, 300).cache()
+    val stC = CsrSweep.singleton(csr, 300, vt)
+    assert(!stC.integral, "fixture must take the non-integral derive path")
+    val (itMC, mvMC) = CsrSweep.run(stC, m, 1.0, 1e-9, 50)
+    assert(itMC === itMA); assert(mvMC === mvMA)
+    val boundC = stC.resetToSingletons()
+    val (itRC, mvRC) = CsrSweep.run(stC, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundC), refineSingletons = true)
+    assert(itRC === itRA); assert(mvRC === mvRA)
+    assert(stC.comm.toSeq === stA.comm.toSeq)
+    stA.close(); stC.close()
+    csr.unpersist(); edges.unpersist()
+  }
+
   test("csrKernel end-to-end Leiden equals the array-tier run across passes") {
     // multi-pass detect parity: coarsened passes arrive (src,dst)-hash
     // partitioned, exercising build()'s repartition-to-src requirement;
