@@ -45,12 +45,14 @@ object ScaleBench {
     val docs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4000000").toLong
     val alu = Bench.hashChainThroughput(spark)
     val sh = Bench.simHashThroughput(spark, docs)
+    graft.leiden.CsrSweep.Timers.reset()
     val (eps, ec, secs) = Bench.leidenSuperstepThroughput(spark, verts, iters = 2)
     val line =
       s"""{"alu_hashes_per_sec":${"%.0f".format(alu)},""" +
       s""""simhash_docs_per_sec":${"%.0f".format(sh)},"leiden_eps":${"%.0f".format(eps)},""" +
       s""""fixture_edges":$ec,"superstep_secs":${"%.3f".format(secs)},""" +
-      s""""parallelism":${spark.sparkContext.defaultParallelism}}"""
+      s""""parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""csr_timers":${graft.leiden.CsrSweep.Timers.json}}"""
     println("GRAFT_SCALE " + line)
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")

@@ -236,6 +236,80 @@ object CsrSweep {
                         seedAlive: Array[Boolean], commI: Array[Int],
                         ctot: Array[Double], csize: Array[Int], sgl: Array[Byte])
 
+  /** Full-state snapshot shipped once per rebase in delta mode. */
+  final case class CsrBase(commI: Array[Int], ctot: Array[Double],
+                           csize: Array[Int], sgl: Array[Byte])
+
+  private val stateIds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-executor mirror of the sweep state, advanced by replaying move
+    * deltas (delta mode, see [[CsrState]] scaladoc). One entry per live
+    * CsrState id; rebases re-materialize in place (gen check), so the
+    * registry stays bounded by concurrently-live states.
+    */
+  private final class ExecMirror {
+    var gen: Long = -1L
+    var epoch: Int = -1
+    var commI: Array[Int] = null
+    var ctot: Array[Double] = null
+    var csize: Array[Int] = null
+    var sgl: Array[Byte] = null
+  }
+  private val mirrors =
+    new java.util.concurrent.ConcurrentHashMap[Long, ExecMirror]()
+
+  /** Single-flight per executor: the first task of a half-sweep
+    * materializes/advances the mirror (O(base) once per rebase, O(moves)
+    * per delta), the rest block only for that. A task landing on a FRESH
+    * executor (dynamic allocation, task retry after executor loss) replays
+    * base + all deltas since — every payload is a Broadcast, fetchable on
+    * first access, so recovery needs no driver round-trip.
+    *
+    * The per-update sgl rule matches the driver apply exactly; since no
+    * later move touches a community after its last update, the final bits
+    * equal (csize == 1) — order-independent, and ±vtot adds are exact on
+    * the integral-weight gate that enables this mode.
+    */
+  private def resolveMirror(sid: Long, gen: Long,
+                            base: Broadcast[CsrBase],
+                            deltas: IndexedSeq[Broadcast[Array[Long]]],
+                            vt: Array[Double]): ExecMirror = {
+    val m = mirrors.computeIfAbsent(sid, _ => new ExecMirror)
+    m.synchronized {
+      if (m.gen != gen) {
+        val b = base.value
+        m.commI = b.commI.clone(); m.ctot = b.ctot.clone()
+        m.csize = b.csize.clone(); m.sgl = b.sgl.clone()
+        m.gen = gen; m.epoch = 0
+      }
+      while (m.epoch < deltas.length) {
+        val mv = deltas(m.epoch).value
+        val commI = m.commI; val ctot = m.ctot; val csize = m.csize; val sgl = m.sgl
+        var j = 0
+        while (j < mv.length) {
+          val pk = mv(j)
+          val s = (pk >>> 32).toInt
+          val to = (pk & 0xFFFFFFFFL).toInt
+          val from = commI(s)
+          val vts = vt(s)
+          ctot(from) -= vts; ctot(to) += vts
+          val fs = csize(from) - 1
+          csize(from) = fs
+          if (fs == 1) sgl(from >> 3) = (sgl(from >> 3) | (1 << (from & 7))).toByte
+          else sgl(from >> 3) = (sgl(from >> 3) & ~(1 << (from & 7))).toByte
+          val ts = csize(to) + 1
+          csize(to) = ts
+          if (ts == 1) sgl(to >> 3) = (sgl(to >> 3) | (1 << (to & 7))).toByte
+          else sgl(to >> 3) = (sgl(to >> 3) & ~(1 << (to & 7))).toByte
+          commI(s) = to
+          j += 1
+        }
+        m.epoch += 1
+      }
+    }
+    m
+  }
+
   /** Driver-held sweep state for this tier: membership + the folded
     * frontier (scaladoc algebra). `vtot` broadcasts once per state
     * lifetime (it never changes within a phase); `bound` once per run.
@@ -254,7 +328,8 @@ object CsrSweep {
     */
   final class CsrState(val csr: RDD[CsrBlock], val n: Int,
                        val vtot: Array[Double], val comm: Array[Long],
-                       val seed: Array[Byte]) {
+                       val seed: Array[Byte],
+                       deltaOpt: Option[Boolean] = None) {
     val nBytes: Int = (n + 7) / 8
     val acc: Array[Array[Byte]] =
       Array(new Array[Byte](nBytes), new Array[Byte](nBytes))
@@ -282,6 +357,36 @@ object CsrSweep {
     private[CsrSweep] val csize = new Array[Int](n)
     private[CsrSweep] val sgl = new Array[Byte](nBytes)
     rebuildTotals()
+    /** Delta mode: per half-sweep, ship only the moves the driver just
+      * applied (8 B/move) instead of the full commI+ctot+sgl snapshot
+      * (~16 B/vertex); executors advance a mirror ([[resolveMirror]]).
+      * A full-state rebase every [[RebaseEvery]] deltas bounds both the
+      * recovery replay chain and the undestroyed-broadcast footprint.
+      * Default: on for multi-executor masters (the N->4N cluster shape,
+      * where the full snapshot costs executors x bytes through the
+      * driver's block manager every half-sweep), off for local[k] (one
+      * in-process copy, serialize-once is cheaper than mirror upkeep).
+      * Requires the integral gate — mirror replay must be exact.
+      */
+    val deltaMode: Boolean =
+      integral && deltaOpt.getOrElse(!csr.sparkContext.isLocal)
+    private[CsrSweep] val stateId: Long = stateIds.incrementAndGet()
+    private[CsrSweep] var gen: Long = 0L
+    private[CsrSweep] var baseBc: Broadcast[CsrBase] = null
+    private[CsrSweep] var deltaBcs: Vector[Broadcast[Array[Long]]] = Vector.empty
+    private[CsrSweep] var pendingDelta: Array[Long] = Array.emptyLongArray
+    private[CsrSweep] def destroyChain(): Unit = {
+      if (baseBc != null) { baseBc.destroy(); baseBc = null }
+      deltaBcs.foreach(_.destroy())
+      deltaBcs = Vector.empty
+      pendingDelta = Array.emptyLongArray
+    }
+    private[CsrSweep] def rebase(): Unit = {
+      destroyChain()
+      gen += 1
+      baseBc = csr.sparkContext.broadcast(
+        CsrBase(commI.clone(), ctot.clone(), csize.clone(), sgl.clone()))
+    }
     /** Scratch rebuild, ascending-vertex order (init / restore / reset). */
     private[CsrSweep] def rebuildTotals(): Unit = {
       java.util.Arrays.fill(ctot, 0.0)
@@ -295,11 +400,12 @@ object CsrSweep {
         i += 1
       }
     }
-    def close(): Unit = bcVtot.destroy()
+    def close(): Unit = { destroyChain(); bcVtot.destroy() }
     def snapshot(): Snap =
       Snap(comm.clone(), acc(0).clone(), acc(1).clone(), seedAlive.clone(),
         commI.clone(), ctot.clone(), csize.clone(), sgl.clone())
     def restore(s: Snap): Unit = {
+      destroyChain() // driver state rewound: next half-sweep rebases
       Array.copy(s.comm, 0, comm, 0, n)
       Array.copy(s.acc0, 0, acc(0), 0, nBytes)
       Array.copy(s.acc1, 0, acc(1), 0, nBytes)
@@ -314,6 +420,7 @@ object CsrSweep {
       * refinement bound). Mirrors [[ArraySweep.ArrayState.resetToSingletons]].
       */
     def resetToSingletons(): Array[Long] = {
+      destroyChain() // membership rewritten wholesale: next sweep rebases
       val prev = comm.clone()
       var i = 0
       while (i < n) { comm(i) = i.toLong; commI(i) = i; i += 1 }
@@ -326,14 +433,22 @@ object CsrSweep {
     }
   }
 
+  /** Full-state rebase cadence in delta mode: bounds a fresh executor's
+    * replay chain and the undestroyed broadcast footprint (first sweeps
+    * move ~V/2 vertices, converged sweeps near zero).
+    */
+  private val RebaseEvery = 64
+
   def init(csr: RDD[CsrBlock], n: Int, vtot: Array[Double],
-           comm0: Array[Long], aff0: Array[Byte]): CsrState =
-    new CsrState(csr, n, vtot, comm0, aff0)
+           comm0: Array[Long], aff0: Array[Byte],
+           deltaBcast: Option[Boolean] = None): CsrState =
+    new CsrState(csr, n, vtot, comm0, aff0, deltaBcast)
 
   /** Identity membership + all-affected seed (singleton init). */
-  def singleton(csr: RDD[CsrBlock], n: Int, vtot: Array[Double]): CsrState =
+  def singleton(csr: RDD[CsrBlock], n: Int, vtot: Array[Double],
+                deltaBcast: Option[Boolean] = None): CsrState =
     new CsrState(csr, n, vtot, Array.tabulate(n)(_.toLong),
-      Array.fill[Byte]((n + 7) / 8)(-1))
+      Array.fill[Byte]((n + 7) / 8)(-1), deltaBcast)
 
   @inline private def bit(b: Array[Byte], i: Int): Boolean =
     (b(i >> 3) & (1 << (i & 7))) != 0
@@ -408,19 +523,35 @@ object CsrSweep {
       return (0L, 0.0)
     val sc = st.csr.sparkContext
     val tT0 = System.nanoTime()
-    // per-half-sweep broadcast: the Int membership mirror (dense ids
-    // < n <= 4M), plus — on the integral-weight path — the driver-
-    // maintained totals, so no task ever derives them. Broadcasting the
-    // live arrays is safe: TorrentBroadcast serializes at construction
-    // (cluster mode snapshots here), and in local mode every task of this
-    // half-sweep completes inside collect() below, strictly before the
-    // apply loop mutates them.
-    // non-integral path derives totals executor-side, memoized by array
-    // INSTANCE — ship a fresh clone per sweep so an in-place-mutated
-    // commI can never hit a stale memo entry
-    val bcComm = sc.broadcast(if (st.integral) st.commI else st.commI.clone())
-    val bcTot: Broadcast[(Array[Double], Array[Byte])] =
-      if (st.integral) sc.broadcast((st.ctot, st.sgl)) else null
+    // Per-half-sweep payload, three tiers:
+    //   delta mode (multi-executor + integral): ship only the moves the
+    //     driver just applied; executors advance a mirror (resolveMirror).
+    //   integral local: the Int membership mirror plus the driver-
+    //     maintained totals, so no task ever derives them. Broadcasting
+    //     the live arrays is safe: TorrentBroadcast serializes at
+    //     construction (cluster mode snapshots here), and in local mode
+    //     every task of this half-sweep completes inside collect() below,
+    //     strictly before the apply loop mutates them.
+    //   non-integral: derive totals executor-side, memoized by array
+    //     INSTANCE — ship a fresh clone per sweep so an in-place-mutated
+    //     commI can never hit a stale memo entry.
+    val deltaOn = st.deltaMode
+    var bcComm: Broadcast[Array[Int]] = null
+    var bcTot: Broadcast[(Array[Double], Array[Byte])] = null
+    if (deltaOn) {
+      if (st.baseBc == null || st.deltaBcs.size >= RebaseEvery) st.rebase()
+      else if (st.pendingDelta.nonEmpty) {
+        st.deltaBcs :+= sc.broadcast(st.pendingDelta)
+        st.pendingDelta = Array.emptyLongArray
+      }
+    } else {
+      bcComm = sc.broadcast(if (st.integral) st.commI else st.commI.clone())
+      if (st.integral) bcTot = sc.broadcast((st.ctot, st.sgl))
+    }
+    val mirSid = st.stateId
+    val mirGen = st.gen
+    val mirBase = st.baseBc
+    val mirDeltas = st.deltaBcs
     val tT1 = System.nanoTime()
     Timers.bcast.addAndGet(tT1 - tT0)
     Timers.sweeps.incrementAndGet()
@@ -434,8 +565,19 @@ object CsrSweep {
     try {
       val out = st.csr.map { blk =>
         val tk0 = System.nanoTime()
-        val comm = bcComm.value; val vt = bcVtot.value
-        val (ct, sglL) = if (bcTot != null) bcTot.value else derive(comm, vt)
+        val vt = bcVtot.value
+        val (comm, ct, sglL) =
+          if (deltaOn) {
+            val mir = resolveMirror(mirSid, mirGen, mirBase, mirDeltas, vt)
+            (mir.commI, mir.ctot, mir.sgl)
+          } else if (bcTot != null) {
+            val t = bcTot.value
+            (bcComm.value, t._1, t._2)
+          } else {
+            val c = bcComm.value
+            val d = derive(c, vt)
+            (c, d._1, d._2)
+          }
         val tk1 = System.nanoTime()
         Timers.deriveTask.addAndGet(tk1 - tk0)
         val bnd = bcBound.map(_.value).orNull
@@ -584,6 +726,16 @@ object CsrSweep {
       // (which was the dominant serial term of every early half-sweep)
       val mNew = st.mvScratch
       java.util.Arrays.fill(mNew, 0.toByte)
+      // delta mode: the concatenated moves (in driver-apply order) are the
+      // NEXT half-sweep's broadcast payload
+      if (deltaOn) {
+        val all = new Array[Long](total)
+        var p = 0
+        out.foreach { case (mp, _) =>
+          System.arraycopy(mp, 0, all, p, mp.length); p += mp.length
+        }
+        st.pendingDelta = all
+      }
       val inc = st.integral // incremental totals (exact: integral weights)
       out.foreach { case (mp, md) =>
         var j = 0
@@ -635,7 +787,9 @@ object CsrSweep {
       (total.toLong, dq)
     } finally {
       val d0 = System.nanoTime()
-      bcComm.destroy()
+      // delta mode keeps its chain alive for fresh-executor replay; it is
+      // destroyed at rebase / reset / close instead
+      if (bcComm != null) bcComm.destroy()
       if (bcTot != null) bcTot.destroy()
       Timers.destroy.addAndGet(System.nanoTime() - d0)
     }

@@ -256,6 +256,48 @@ class LeidenSpec extends SparkSpec {
     csr.unpersist(); edges.unpersist()
   }
 
+  test("delta-broadcast CSR sweep equals the full-broadcast sweep (move+refine)") {
+    // delta mode (executor-shape payload: base snapshot + per-sweep move
+    // deltas replayed into executor mirrors) forced on in local mode; a
+    // 50-iteration cap over both phases crosses sweeps with zero moves
+    // (empty-delta skip), resetToSingletons invalidation, and — via the
+    // snapshot/restore below — the restore-destroys-chain path
+    val rnd = new Random(19)
+    val es = Seq.newBuilder[(Long, Long, Double)]
+    for (a <- 0 until 300; b <- a + 1 until 300)
+      if (rnd.nextDouble() < (if ((a / 30) == (b / 30)) 0.3 else 0.015))
+        es += ((a.toLong, b.toLong, 1.0))
+    val edges = EdgeTable.undirected(spark, es.result())
+      .repartition(col("src")).cache()
+    val m = EdgeTable.totalWeight(edges) / 2
+    val vw = EdgeTable.vertexWeights(edges)
+    val vt = new Array[Double](300)
+    vw.collect().foreach(r => vt(r.getLong(0).toInt) = r.getDouble(1))
+    val csr = CsrSweep.build(edges, 300).cache()
+
+    val stF = CsrSweep.singleton(csr, 300, vt, deltaBcast = Some(false))
+    val (itMF, mvMF) = CsrSweep.run(stF, m, 1.0, 1e-9, 50)
+    val boundF = stF.resetToSingletons()
+    val (itRF, mvRF) = CsrSweep.run(stF, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundF), refineSingletons = true)
+
+    val stD = CsrSweep.singleton(csr, 300, vt, deltaBcast = Some(true))
+    assert(stD.deltaMode)
+    val snap0 = stD.snapshot()
+    CsrSweep.halfSweep(stD, m, 1.0, 0) // dirty the state, then rewind
+    stD.restore(snap0)
+    val (itMD, mvMD) = CsrSweep.run(stD, m, 1.0, 1e-9, 50)
+    assert(itMD === itMF); assert(mvMD === mvMF)
+    val boundD = stD.resetToSingletons()
+    assert(boundD.toSeq === boundF.toSeq)
+    val (itRD, mvRD) = CsrSweep.run(stD, m, 1.0, 1e-9, 50,
+      boundArr = Some(boundD), refineSingletons = true)
+    assert(itRD === itRF); assert(mvRD === mvRF)
+    assert(stD.comm.toSeq === stF.comm.toSeq)
+    stF.close(); stD.close()
+    csr.unpersist(); edges.unpersist()
+  }
+
   test("packed-CSR tier equals the array tier on NON-integral weights") {
     // fractional weights fail CsrState.integral, putting every half-sweep
     // on the executor-side memoized derive path (CsrSweep.derive) with a
