@@ -509,6 +509,11 @@ object Bench {
           //     meaningless => the LO point ran contended; remeasure lo.
           //   - aluEff < 0.8 => the HI window got starved of cores by a
           //     co-tenant; remeasure hi.
+          //   - legEff < 0.33 is a (near-)INVERSION: 4x executors of the
+          //     same deterministic job delivering under a third of linear
+          //     is as physically meaningless as >1.05 (the honest band
+          //     measured across rounds is 0.4+); remeasure hi, keeping the
+          //     fastest, while tries/time allow.
           //   - legEff < 0.75 with fair windows and a clean ceiling: one
           //     more hi attempt covers shuffle-timing variance, then the
           //     number is honest for this box.
@@ -519,6 +524,7 @@ object Bench {
           var tries = 0
           while (tries < 4 && lo.isDefined && hi.isDefined && remaining > 420 &&
                  (legEff > 1.05 || aluEff > 1.05 || aluEff < 0.8 ||
+                  legEff < 0.33 ||
                   (legEff < 0.75 && hwEff > 0.9 && tries < 1))) {
             if (legEff > 1.05 || aluEff > 1.05) {
               val l2 = point(1)
