@@ -66,6 +66,50 @@ import org.apache.spark.sql.functions.col
   */
 object CsrSweep {
 
+  // ---- lock-free array primitives for the parallel driver apply ----------
+  // sun.misc.Unsafe (the same primitive Spark's own Platform rides): the
+  // apply loop's ctot/csize scatter-adds hit communities shared across
+  // blocks, so the parallel pass needs atomic RMW on primitive arrays.
+  // Double adds are only taken on the integral gate, where ± integer-valued
+  // doubles are EXACT and order-independent — the parallel result is
+  // bit-identical to the serial per-move loop it replaces.
+  private val U: sun.misc.Unsafe = {
+    val f = classOf[sun.misc.Unsafe].getDeclaredField("theUnsafe")
+    f.setAccessible(true)
+    f.get(null).asInstanceOf[sun.misc.Unsafe]
+  }
+  private val DOff = U.arrayBaseOffset(classOf[Array[Double]]).toLong
+  private val DScale = U.arrayIndexScale(classOf[Array[Double]]).toLong
+  private val IOff = U.arrayBaseOffset(classOf[Array[Int]]).toLong
+  private val IScale = U.arrayIndexScale(classOf[Array[Int]]).toLong
+
+  @inline private def atomicAdd(a: Array[Double], i: Int, v: Double): Unit = {
+    val off = DOff + i * DScale
+    var ok = false
+    while (!ok) {
+      val cur = U.getLongVolatile(a, off)
+      ok = U.compareAndSwapLong(a, off, cur,
+        java.lang.Double.doubleToRawLongBits(
+          java.lang.Double.longBitsToDouble(cur) + v))
+    }
+  }
+
+  @inline private def atomicAddInt(a: Array[Int], i: Int, v: Int): Unit = {
+    U.getAndAddInt(a, IOff + i * IScale, v); ()
+  }
+
+  @inline private def setBit(b: Array[Byte], i: Int, v: Boolean): Unit =
+    if (v) b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte
+    else b(i >> 3) = (b(i >> 3) & ~(1 << (i & 7))).toByte
+
+  /** Move-count floor for the parallel apply: below it the fork-join
+    * dispatch costs more than the serial loop saves (converged sweeps move
+    * a handful of vertices). Var so the parity specs can force the parallel
+    * path on toy fixtures.
+    */
+  private[graft] var ParallelApplyMin: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PARALLEL_APPLY_MIN", "8192").toInt
+
   /** Cumulative per-component wall nanos of every [[halfSweep]] — the
     * sweep's serial driver sections are the Amdahl term of the N->4N
     * scaling witness, so they stay permanently instrumented (5 nanoTime
@@ -242,10 +286,20 @@ object CsrSweep {
 
   private val stateIds = new java.util.concurrent.atomic.AtomicLong
 
+  /** Driver-side registry of live CsrState ids. Its minimum is the low
+    * watermark shipped with every delta-mode half-sweep: executors evict
+    * mirror entries below it ([[resolveMirror]]), so the per-executor
+    * registry is bounded by CONCURRENTLY-live states — not by all states
+    * ever created (a long-lived app running repeated detect() calls would
+    * otherwise grow executor memory by ~17 B/vertex per pass forever).
+    */
+  private val liveStates =
+    new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
+
   /** Per-executor mirror of the sweep state, advanced by replaying move
     * deltas (delta mode, see [[CsrState]] scaladoc). One entry per live
-    * CsrState id; rebases re-materialize in place (gen check), so the
-    * registry stays bounded by concurrently-live states.
+    * CsrState id; rebases re-materialize in place (gen check), and ids
+    * below the driver's live-state watermark are evicted on every resolve.
     */
   private final class ExecMirror {
     var gen: Long = -1L
@@ -257,6 +311,9 @@ object CsrSweep {
   }
   private val mirrors =
     new java.util.concurrent.ConcurrentHashMap[Long, ExecMirror]()
+
+  /** Test hook: live mirror entries on this JVM's executor side. */
+  private[graft] def mirrorCount: Int = mirrors.size
 
   /** Single-flight per executor: the first task of a half-sweep
     * materializes/advances the mirror (O(base) once per rebase, O(moves)
@@ -270,12 +327,24 @@ object CsrSweep {
     * equal (csize == 1) — order-independent, and ±vtot adds are exact on
     * the integral-weight gate that enables this mode.
     */
-  private def resolveMirror(sid: Long, gen: Long,
+  private def resolveMirror(sid: Long, gen: Long, watermark: Long,
                             base: Broadcast[CsrBase],
                             deltas: IndexedSeq[Broadcast[Array[Long]]],
                             vt: Array[Double]): ExecMirror = {
+    // evict mirrors of driver-closed states (ids below the live watermark);
+    // O(live mirrors) — a handful of entries
+    if (!mirrors.isEmpty) {
+      val it = mirrors.keySet().iterator()
+      while (it.hasNext) if (it.next() < watermark) it.remove()
+    }
     val m = mirrors.computeIfAbsent(sid, _ => new ExecMirror)
     m.synchronized {
+      // a zombie/speculative task from BEFORE a rebase must never roll the
+      // mirror back (its base broadcast is destroyed; re-materializing from
+      // it would thrash live tasks of the current job) — fail it explicitly
+      if (gen < m.gen)
+        throw new IllegalStateException(
+          s"stale sweep generation $gen < ${m.gen} (zombie/speculative task)")
       if (m.gen != gen) {
         val b = base.value
         m.commI = b.commI.clone(); m.ctot = b.ctot.clone()
@@ -333,10 +402,9 @@ object CsrSweep {
     val nBytes: Int = (n + 7) / 8
     val acc: Array[Array[Byte]] =
       Array(new Array[Byte](nBytes), new Array[Byte](nBytes))
-    // per-half-sweep scratch (allocated once; the apply is the serial
-    // driver section of every half-sweep, so it must not sort or allocate)
+    // per-half-sweep scratch (allocated once; the serial sections of the
+    // apply must not sort or allocate)
     private[CsrSweep] val mvScratch = new Array[Byte](nBytes)
-    private[CsrSweep] val dqScratch = new Array[Double](n)
     val seedAlive: Array[Boolean] = Array(true, true)
     private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
       csr.sparkContext.broadcast(vtot)
@@ -367,10 +435,15 @@ object CsrSweep {
       * driver's block manager every half-sweep), off for local[k] (one
       * in-process copy, serialize-once is cheaper than mirror upkeep).
       * Requires the integral gate — mirror replay must be exact.
+      * SPARK_GRAFT_CSR_DELTA=1/0 overrides the master-shape default (A/B
+      * measurement of the exchange protocols on one box).
       */
     val deltaMode: Boolean =
-      integral && deltaOpt.getOrElse(!csr.sparkContext.isLocal)
+      integral && deltaOpt
+        .orElse(sys.env.get("SPARK_GRAFT_CSR_DELTA").map(_ == "1"))
+        .getOrElse(!csr.sparkContext.isLocal)
     private[CsrSweep] val stateId: Long = stateIds.incrementAndGet()
+    liveStates.add(stateId)
     private[CsrSweep] var gen: Long = 0L
     private[CsrSweep] var baseBc: Broadcast[CsrBase] = null
     private[CsrSweep] var deltaBcs: Vector[Broadcast[Array[Long]]] = Vector.empty
@@ -400,7 +473,10 @@ object CsrSweep {
         i += 1
       }
     }
-    def close(): Unit = { destroyChain(); bcVtot.destroy() }
+    def close(): Unit = {
+      destroyChain(); bcVtot.destroy()
+      liveStates.remove(stateId); ()
+    }
     def snapshot(): Snap =
       Snap(comm.clone(), acc(0).clone(), acc(1).clone(), seedAlive.clone(),
         commI.clone(), ctot.clone(), csize.clone(), sgl.clone())
@@ -512,10 +588,25 @@ object CsrSweep {
   /** One synchronous half-sweep; mutates `st`, returns (moves, dqSum).
     * Non-moving sweeps leave the frontier state untouched, exactly like
     * [[ArraySweep.halfSweep]]'s two early returns.
+    *
+    * `sketchSlots > 0` switches the per-src candidate accumulation to the
+    * low-memory two-pass scan (the reference's lowmem tier on this kernel's
+    * layout): a k-slot Misra-Gries pass over the adjacency
+    * (`/root/reference/inc/leidenLowmem.hxx:69-95`; k=1 degenerates to the
+    * weighted Boyer-Moore replacement vote, `:151-164`), then an EXACT
+    * re-score of the survivors plus the vertex's own community
+    * (`:207-231`) — the same survivors-∪-{ccur} rescore the Catalyst sketch
+    * tier applies, so moves are decided on exact weights and only the
+    * CANDIDATE POOL is sketch-bounded. The per-src scratch is 12·k bytes,
+    * L1-resident at the reference's k=64. Because all edges of a src live
+    * in one block sorted by dst, the sketch consumes a deterministic
+    * stream — run-to-run reproducible, unlike merge-order-dependent
+    * distributed aggregation.
     */
   def halfSweep(st: CsrState, m: Double, resolution: Double, parity: Int,
                 bcBound: Option[Broadcast[Array[Int]]] = None,
-                refineSingletons: Boolean = false): (Long, Double) = {
+                refineSingletons: Boolean = false,
+                sketchSlots: Int = 0): (Long, Double) = {
     val n = st.n
     val useSeed = st.seedAlive(parity)
     // frontier provably empty at this parity -> skip the scan job
@@ -550,6 +641,9 @@ object CsrSweep {
     }
     val mirSid = st.stateId
     val mirGen = st.gen
+    val mirWm: Long =
+      try liveStates.first().longValue()
+      catch { case _: java.util.NoSuchElementException => st.stateId }
     val mirBase = st.baseBc
     val mirDeltas = st.deltaBcs
     val tT1 = System.nanoTime()
@@ -562,13 +656,14 @@ object CsrSweep {
     val res = resolution
     val par = parity
     val refine = refineSingletons
+    val slots = sketchSlots
     try {
       val out = st.csr.map { blk =>
         val tk0 = System.nanoTime()
         val vt = bcVtot.value
         val (comm, ct, sglL) =
           if (deltaOn) {
-            val mir = resolveMirror(mirSid, mirGen, mirBase, mirDeltas, vt)
+            val mir = resolveMirror(mirSid, mirGen, mirWm, mirBase, mirDeltas, vt)
             (mir.commI, mir.ctot, mir.sgl)
           } else if (bcTot != null) {
             val t = bcTot.value
@@ -617,6 +712,9 @@ object CsrSweep {
         var mvPacked = new Array[Long](mvCap)
         var mvDq = new Array[Double](mvCap)
         var nMv = 0
+        // low-memory tier scratch: the k-slot Misra-Gries sketch
+        val skeys = if (slots > 0) new Array[Int](slots) else null
+        val sws = if (slots > 0) new Array[Double](slots) else null
         val srcs = blk.srcs; val off = blk.off; val dst = blk.dst
         val w = blk.w // null => all 1.0 (unit-weight block, 4 B/edge)
         var k = 0
@@ -638,7 +736,75 @@ object CsrSweep {
                 // accumulate candidates (dst != s; refine: same bound)
                 if (nt > 0) { var t = 0; while (t < nt) { keys(touched(t)) = -1; t += 1 }; nt = 0 }
                 var e = e0
-                if (bnd == null) {
+                if (slots > 0) {
+                  // lowmem scan (halfSweep scaladoc): MG/BM sketch pass,
+                  // replaying MGSketch.Agg.reduce decision-for-decision on
+                  // the dst-sorted stream, then exact rescore of survivors
+                  val bs = if (bnd == null) 0 else bnd(s)
+                  java.util.Arrays.fill(skeys, -1)
+                  java.util.Arrays.fill(sws, 0.0)
+                  while (e < e1) {
+                    val d = dst(e)
+                    if (d != s && (bnd == null || bnd(d) == bs)) {
+                      val c = comm(d)
+                      val we = if (w == null) 1.0 else w(e)
+                      if (slots == 1) {
+                        // weighted Boyer-Moore replacement vote; exact tie
+                        // keeps the smaller community id (MGSketch k=1)
+                        if (skeys(0) == c && sws(0) > 0) sws(0) += we
+                        else if (sws(0) > we) sws(0) -= we
+                        else if (sws(0) < we) { skeys(0) = c; sws(0) = we }
+                        else {
+                          skeys(0) = math.min(if (sws(0) > 0) skeys(0) else c, c)
+                          sws(0) = we
+                        }
+                      } else {
+                        var i2 = 0
+                        var has = false
+                        while (i2 < slots && !has) {
+                          if (skeys(i2) == c && sws(i2) > 0) { sws(i2) += we; has = true }
+                          i2 += 1
+                        }
+                        if (!has) {
+                          var f = -1
+                          i2 = 0
+                          while (i2 < slots) { if (sws(i2) == 0.0) f = i2; i2 += 1 }
+                          if (f >= 0) { skeys(f) = c; sws(f) = we }
+                          else {
+                            i2 = 0
+                            while (i2 < slots) { sws(i2) = math.max(sws(i2) - we, 0.0); i2 += 1 }
+                          }
+                        }
+                      }
+                    }
+                    e += 1
+                  }
+                  // seed the exact map with survivors + ccur at weight 0
+                  var i2 = 0
+                  while (i2 <= slots) {
+                    val c = if (i2 == slots) ccur
+                            else if (sws(i2) > 0) skeys(i2) else -1
+                    if (c >= 0) {
+                      if ((nt + 1) * 2 > cap) grow()
+                      val h = slot(c)
+                      if (keys(h) < 0) { keys(h) = c; vals(h) = 0.0; touched(nt) = h; nt += 1 }
+                    }
+                    i2 += 1
+                  }
+                  // exact rescore restricted to the seeded keys (probe
+                  // without insert): survivors get their true weights, so
+                  // the move decision below is exact over the sketch pool
+                  e = e0
+                  while (e < e1) {
+                    val d = dst(e)
+                    if (d != s && (bnd == null || bnd(d) == bs)) {
+                      val c = comm(d)
+                      val h = slot(c)
+                      if (keys(h) == c) vals(h) += (if (w == null) 1.0 else w(e))
+                    }
+                    e += 1
+                  }
+                } else if (bnd == null) {
                   while (e < e1) {
                     val d = dst(e)
                     if (d != s) {
@@ -718,12 +884,6 @@ object CsrSweep {
       out.foreach(p => total += p._1.length)
       // non-moving sweep: frontier state untouched (legacy parity)
       if (total == 0) return (0L, 0.0)
-      // synchronous apply without a sort: each src moves at most once per
-      // half-sweep, so comm writes are disjoint (order-free); the dq terms
-      // scatter into an O(V) scratch and are then summed by ascending src
-      // via the moved bitmap — the same fp order as the sorted apply this
-      // replaces, at O(V/8 + moves) instead of a boxed O(M log M) sort
-      // (which was the dominant serial term of every early half-sweep)
       val mNew = st.mvScratch
       java.util.Arrays.fill(mNew, 0.toByte)
       // delta mode: the concatenated moves (in driver-apply order) are the
@@ -737,50 +897,108 @@ object CsrSweep {
         st.pendingDelta = all
       }
       val inc = st.integral // incremental totals (exact: integral weights)
-      out.foreach { case (mp, md) =>
+      // Apply, three sections. (1) SERIAL walk: dq left-fold + moved
+      // bitmap. Blocks are ascending src ranges (range partitioning) and
+      // within-block emission is ascending src, so walking out[] in order
+      // IS the ascending-src fp summation order every tier pins — no O(V)
+      // scratch scatter needed, just sequential reads.
+      var dq = 0.0
+      var wb = 0
+      while (wb < out.length) {
+        val (mp, md) = out(wb)
         var j = 0
         while (j < mp.length) {
-          val pk = mp(j)
-          val s = (pk >>> 32).toInt
-          val to = (pk & 0xFFFFFFFFL).toInt
-          if (inc) {
-            val from = st.commI(s)
-            val vts = st.vtot(s)
-            st.ctot(from) -= vts
-            st.ctot(to) += vts
-            val fs = st.csize(from) - 1
-            st.csize(from) = fs
-            // singleton bit: set iff the community's size is exactly 1
-            // after EACH update — `to` can go 0 -> 1 when earlier movers
-            // of this same apply batch drained it first
-            if (fs == 1) st.sgl(from >> 3) = (st.sgl(from >> 3) | (1 << (from & 7))).toByte
-            else st.sgl(from >> 3) = (st.sgl(from >> 3) & ~(1 << (from & 7))).toByte
-            val ts = st.csize(to) + 1
-            st.csize(to) = ts
-            if (ts == 1) st.sgl(to >> 3) = (st.sgl(to >> 3) | (1 << (to & 7))).toByte
-            else st.sgl(to >> 3) = (st.sgl(to >> 3) & ~(1 << (to & 7))).toByte
-          }
-          st.comm(s) = to.toLong
-          st.commI(s) = to
-          st.dqScratch(s) = md(j)
+          val s = (mp(j) >>> 32).toInt
           mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
+          dq += md(j)
           j += 1
         }
+        wb += 1
       }
-      var dq = 0.0
-      var i = 0
-      while (i < st.nBytes) {
-        var b = mNew(i) & 0xFF
-        while (b != 0) {
-          dq += st.dqScratch((i << 3) + Integer.numberOfTrailingZeros(b))
-          b &= b - 1
+      if (total >= ParallelApplyMin && out.length > 1) {
+        // (2) PARALLEL pass over blocks — the O(moves) scatter was the
+        // dominant serial Amdahl term of the N->4N witness once the kernel
+        // itself scaled (~10 random O(V)-array accesses per move). Each
+        // src moves at most once per half-sweep, so comm/commI writes are
+        // disjoint; ctot/csize are scatter-adds to shared communities →
+        // lock-free atomic RMW (exact: adds are ± integral doubles on the
+        // `inc` gate, order-independent). mp is rewritten in place to
+        // (from, to) as the pass-3 payload — the delta snapshot above and
+        // the serial walk have already consumed the original packing.
+        java.util.stream.IntStream.range(0, out.length).parallel().forEach { b =>
+          val mp = out(b)._1
+          var j = 0
+          while (j < mp.length) {
+            val pk = mp(j)
+            val s = (pk >>> 32).toInt
+            val to = (pk & 0xFFFFFFFFL).toInt
+            if (inc) {
+              val from = st.commI(s)
+              val vts = st.vtot(s)
+              atomicAdd(st.ctot, from, -vts)
+              atomicAdd(st.ctot, to, vts)
+              atomicAddInt(st.csize, from, -1)
+              atomicAddInt(st.csize, to, 1)
+              mp(j) = (from.toLong << 32) | to.toLong
+            }
+            st.comm(s) = to.toLong
+            st.commI(s) = to
+            j += 1
+          }
         }
-        i += 1
+        // (3) SERIAL singleton-bit pass from the now-final sizes: the
+        // serial per-update rule's final bit equals (csize == 1) — the
+        // same invariant the mirror replay documents — so recomputing
+        // from final sizes is bit-identical and order-free.
+        if (inc) {
+          var b = 0
+          while (b < out.length) {
+            val mp = out(b)._1
+            var j = 0
+            while (j < mp.length) {
+              val pk = mp(j)
+              val from = (pk >>> 32).toInt
+              val to = (pk & 0xFFFFFFFFL).toInt
+              setBit(st.sgl, from, st.csize(from) == 1)
+              setBit(st.sgl, to, st.csize(to) == 1)
+              j += 1
+            }
+            b += 1
+          }
+        }
+      } else {
+        // serial apply (small move counts): per-update singleton rule
+        out.foreach { case (mp, _) =>
+          var j = 0
+          while (j < mp.length) {
+            val pk = mp(j)
+            val s = (pk >>> 32).toInt
+            val to = (pk & 0xFFFFFFFFL).toInt
+            if (inc) {
+              val from = st.commI(s)
+              val vts = st.vtot(s)
+              st.ctot(from) -= vts
+              st.ctot(to) += vts
+              val fs = st.csize(from) - 1
+              st.csize(from) = fs
+              // singleton bit: set iff the community's size is exactly 1
+              // after EACH update — `to` can go 0 -> 1 when earlier movers
+              // of this same apply batch drained it first
+              setBit(st.sgl, from, fs == 1)
+              val ts = st.csize(to) + 1
+              st.csize(to) = ts
+              setBit(st.sgl, to, ts == 1)
+            }
+            st.comm(s) = to.toLong
+            st.commI(s) = to
+            j += 1
+          }
+        }
       }
       // frontier fold: acc(p) := M, acc(1-p) |= M, seed of p consumed
       Array.copy(mNew, 0, st.acc(parity), 0, st.nBytes)
       val other = st.acc(1 - parity)
-      i = 0
+      var i = 0
       while (i < st.nBytes) { other(i) = ((other(i) | mNew(i)) & 0xFF).toByte; i += 1 }
       st.seedAlive(parity) = false
       Timers.apply.addAndGet(System.nanoTime() - tT2)
@@ -798,7 +1016,8 @@ object CsrSweep {
   /** [[LocalMove.run]]'s exact termination rule over this tier. */
   def run(st: CsrState, m: Double, resolution: Double, tolerance: Double,
           maxIterations: Int, boundArr: Option[Array[Long]] = None,
-          refineSingletons: Boolean = false, minMoves: Long = 0L): (Int, Long) = {
+          refineSingletons: Boolean = false, minMoves: Long = 0L,
+          sketchSlots: Int = 0): (Int, Long) = {
     val sc = st.csr.sparkContext
     val bcBound = boundArr.map { b =>
       val a = new Array[Int](st.n); var j = 0
@@ -810,8 +1029,8 @@ object CsrSweep {
       var totalMoves = 0L
       var continue = true
       while (continue && it < maxIterations) {
-        val (am, adq) = halfSweep(st, m, resolution, 0, bcBound, refineSingletons)
-        val (bm, bdq) = halfSweep(st, m, resolution, 1, bcBound, refineSingletons)
+        val (am, adq) = halfSweep(st, m, resolution, 0, bcBound, refineSingletons, sketchSlots)
+        val (bm, bdq) = halfSweep(st, m, resolution, 1, bcBound, refineSingletons, sketchSlots)
         it += 1
         totalMoves += am + bm
         if (am + bm < math.max(1L, minMoves) || adq + bdq <= tolerance)

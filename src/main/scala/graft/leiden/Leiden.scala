@@ -208,9 +208,12 @@ object Leiden {
         (seedMembership.isDefined || affected.isDefined)
       // dense-gate init: (vt, comm0, bits0) shared by the driver-state
       // tiers (ArraySweep / CsrSweep); None when the gate fails or a warm
-      // start's community labels escape the dense id space
+      // start's community labels escape the dense id space. The CSR kernel
+      // carries the MG-sketch scan natively (CsrSweep.halfSweep lowmem
+      // branch), so sketch passes ride it too; the array tier is exact-only.
       val denseInit: Option[(Array[Double], Array[Long], Array[Byte])] =
-        if (fBits > 0 && slots == 0 && fBits <= LocalMove.CtBroadcastMax) timed("mark") {
+        if (fBits > 0 && (slots == 0 || opts.csrKernel) &&
+          fBits <= LocalMove.CtBroadcastMax) timed("mark") {
           val n = fBits
           val vt = new Array[Double](n)
           vtot.select("id", "vtot").collect()
@@ -257,13 +260,14 @@ object Leiden {
           val st = CsrSweep.init(csr, fBits, vt, comm0, bits0)
           val (lIt, lMv) = timed(if (pass == firstPass) "firstpass" else "move") {
             CsrSweep.run(st, m, opts.resolution, tolerance,
-              opts.maxIterations, minMoves = minMoves)
+              opts.maxIterations, minMoves = minMoves, sketchSlots = slots)
           }
           val boundArr = st.resetToSingletons()
           val (rIt, rMv) = timed("refine") {
             CsrSweep.run(st, m, opts.resolution, tolerance,
               opts.maxIterations, boundArr = Some(boundArr),
-              refineSingletons = true, minMoves = minMoves)
+              refineSingletons = true, minMoves = minMoves,
+              sketchSlots = slots)
           }
           val rm = materialize(st.comm)
           st.close()

@@ -75,6 +75,17 @@ case class LeidenOptions(
       * (BENCH.md). Default on: parity is pinned at half-sweep, run and
       * end-to-end levels (LeidenSpec) and bit-identical on a 4.8M-edge
       * Cli run (Q=0.2073758011042955 both paths, 2.8x faster wall-clock).
+      *
+      * Caveat (arbitrary non-dyadic double weights only): the kernel sorts
+      * each adjacency by dst and range-partitions blocks by sampling, so
+      * the per-src fp accumulation ORDER differs from the array/column
+      * tiers. On integers and binary fractions (every web graph, every
+      * coarsened pass of one) addition is exact and the tiers are
+      * bit-identical; on weights like 0.1 the accumulated candidate
+      * weights can differ in the last ulp, which in principle can flip an
+      * exactly-tied argmax. Both outcomes are valid moves of the same
+      * objective; set csrKernel=false if cross-tier bit-reproducibility on
+      * non-dyadic weights matters more than throughput.
       */
     csrKernel: Boolean = true,
     /** > 0 enables the partition-local CSR first pass (LocalFirstPass,
