@@ -14,20 +14,25 @@ object Sessions {
     configure(SparkSession.builder().master(s"local[$cores]"), cores, appName)
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int, appName: String): SparkSession = {
-    val spark = b
+    val b1 = b
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // The Leiden sweep broadcasts O(V) membership+totals every half-sweep;
-      // lz4-ing ~24 MB of near-incompressible doubles is a pure serial
-      // driver cost on one box (and over loopback executors). On a real
-      // multi-node cluster the submitter re-enables it if network-bound.
-      .config("spark.broadcast.compress", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The Leiden sweep broadcasts O(V) membership+totals every half-sweep;
+    // lz4-ing ~24 MB of near-incompressible doubles is a pure serial driver
+    // cost that only pays off on a real network. Disable it ONLY when the
+    // master is local/local-cluster (this sandbox, unit tests, the bench's
+    // loopback executors) — a real cluster deployment keeps Spark's
+    // compressed default unless the submitter opts out explicitly.
+    val master = sys.props.getOrElse("spark.master", "local")
+    val b2 =
+      if (master.startsWith("local")) b1.config("spark.broadcast.compress", "false")
+      else b1
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -482,7 +482,26 @@ object SparkEntry {
     "mm_audio_meta" -> ((s, dir) => // rows-only: real WAV PCM chunk walk
       Multimodal.decodeAudioMeta(Multimodal.syntheticMedia(s, 300)).toDF()),
     "mm_video_frames" -> ((s, dir) => // rows-only: real Y4M frame sampling
-      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 300), 300).toDF()))
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 300), 300).toDF()),
+    // --- *_sql twins: the SAME real decoders/extractors over the
+    // closed-form fixtures (Multimodal.syntheticMediaSql, Pages.syntheticSql),
+    // whose parameters ANSI SQL recomputes without decoding — this puts the
+    // decode/extract outputs under the cross-engine oracle hash, same
+    // device as d_minhash_pairs_md5. bytes_len is dropped from the image
+    // twin (PNG/GIF compressed sizes are codec detail, not formula).
+    "mm_image_meta_sql" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(Multimodal.syntheticMediaSql(s, 300)).toDF()
+        .select("media_id", "format", "width", "height", "channels", "px_sum")),
+    "mm_audio_meta_sql" -> ((s, dir) =>
+      Multimodal.decodeAudioMeta(Multimodal.syntheticMediaSql(s, 300)).toDF()),
+    "mm_video_frames_sql" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMediaSql(s, 300), 300).toDF()),
+    "p_text_digest_sql" -> ((s, dir) =>
+      LinkExtract.textDigests(Pages.syntheticSql(s, 500))),
+    "p_link_edges_sql" -> ((s, dir) => {
+      val (e, _) = LinkExtract.edges(Pages.syntheticSql(s, 500))
+      EdgeTable.degrees(EdgeTable.symmetrize(e))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -942,5 +961,67 @@ object SparkEntry {
         |sym AS (SELECT src, dst, w FROM kept
         |        UNION ALL SELECT dst, src, w FROM kept)
         |SELECT src AS id, count(*) AS deg, CAST(sum(w) AS BIGINT) AS wdeg
-        |FROM sym GROUP BY src""".stripMargin)
+        |FROM sym GROUP BY src""".stripMargin,
+    // *_sql twins: the fixtures' closed-form parameter/pixel/word formulas
+    // (Multimodal.syntheticMediaSql, Pages.syntheticSql) recomputed in pure
+    // SQL over range() — no media decode, no html parse. Matching these
+    // hashes proves the engine's REAL decoders/extractors reproduce every
+    // dimension, payload checksum, frame time, digest and link degree.
+    "mm_image_meta_sql" ->
+      """WITH m AS (
+        |  SELECT range AS id,
+        |         16 + (range*7919) % 64 AS w,
+        |         16 + (range*104729) % 64 AS h,
+        |         (range//3) % 4 AS enc
+        |  FROM range(300) WHERE range % 3 = 0),
+        |px AS (
+        |  SELECT m.id,
+        |         sum(CASE WHEN m.enc = 3 AND i.range < m.w*m.h
+        |                  THEN 3 * ((m.id*31 + i.range*7) % 16) * 17
+        |                  WHEN m.enc <> 3 AND i.range < m.w*m.h*3
+        |                  THEN (m.id*31 + i.range*7) % 256
+        |                  ELSE 0 END) AS px_sum
+        |  FROM m, range(18723) i GROUP BY m.id)
+        |SELECT m.id AS media_id,
+        |       CASE m.enc WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'gif' END AS format,
+        |       CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height, CAST(3 AS INT) AS channels,
+        |       CAST(px.px_sum AS BIGINT) AS px_sum
+        |FROM m JOIN px ON m.id = px.id""".stripMargin,
+    "mm_audio_meta_sql" ->
+      """SELECT range AS media_id,
+        |       CAST(1 + range % 2 AS INT) AS channels,
+        |       CAST(CASE WHEN (range//3) % 2 = 0 THEN 8000 ELSE 16000 END AS INT) AS sample_rate,
+        |       CAST(16 AS INT) AS bits_per_sample, CAST(256 AS INT) AS n_frames
+        |FROM range(300) WHERE range % 3 = 1""".stripMargin,
+    "mm_video_frames_sql" ->
+      """WITH v AS (
+        |  SELECT range AS id, 3 + (range*3) % 5 AS nf
+        |  FROM range(300) WHERE range % 3 = 2)
+        |SELECT v.id AS media_id,
+        |       CAST((k.range*300*4)//1000 AS INT) AS frame_idx,
+        |       k.range*300 AS ts_ms
+        |FROM v, range(6) k WHERE k.range < (v.nf*250 + 299)//300""".stripMargin,
+    "p_text_digest_sql" ->
+      """WITH p AS (SELECT range AS id FROM range(500)),
+        |w AS (SELECT p.id, k.range AS k,
+        |       ['data','graph','link','page','crawl','spark','node','edge','rank','query','web','text','hash','batch','scan'][CAST((p.id*7 + k.range*31) % 15 AS INT) + 1] AS word
+        |      FROM p, range(80) k WHERE k.range < 20 + (p.id*3) % 60)
+        |SELECT 'https://site-' || CAST(id % 50 AS VARCHAR) || '.example/p/' || CAST(id // 50 AS VARCHAR) AS url,
+        |       sha256(string_agg(word, ' ' ORDER BY k)) AS sha
+        |FROM w GROUP BY id""".stripMargin,
+    "p_link_edges_sql" ->
+      """WITH p AS (SELECT range AS id FROM range(500)),
+        |u AS (SELECT id, 'https://site-' || CAST(id % 50 AS VARCHAR) || '.example/p/' || CAST(id // 50 AS VARCHAR) AS url FROM p),
+        |ids AS (SELECT id, row_number() OVER (ORDER BY url) - 1 AS vid FROM u),
+        |tl AS (
+        |  SELECT p.id AS src_id,
+        |         least(499, (((p.id*2654435761 + k.range*40503) % 1000000)
+        |                   * ((p.id*2654435761 + k.range*40503) % 1000000)
+        |                   * p.id) // 1000000000000 ) AS dst_id
+        |  FROM p, range(12) k WHERE k.range < 2 + (p.id*13) % 10),
+        |e0 AS (SELECT DISTINCT s.vid AS src, d.vid AS dst
+        |       FROM tl JOIN ids s ON tl.src_id = s.id JOIN ids d ON tl.dst_id = d.id
+        |       WHERE tl.src_id <> tl.dst_id),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
+        |SELECT src AS id, count(*) AS degree FROM sym GROUP BY src""".stripMargin)
 }

@@ -98,9 +98,28 @@ object CsrSweep {
     U.getAndAddInt(a, IOff + i * IScale, v); ()
   }
 
-  @inline private def setBit(b: Array[Byte], i: Int, v: Boolean): Unit =
-    if (v) b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte
-    else b(i >> 3) = (b(i >> 3) & ~(1 << (i & 7))).toByte
+  private val LOff = U.arrayBaseOffset(classOf[Array[Long]]).toLong
+  private val LScale = U.arrayIndexScale(classOf[Array[Long]]).toLong
+
+  @inline private def setBitL(b: Array[Long], i: Int, v: Boolean): Unit =
+    if (v) b(i >> 6) |= 1L << (i & 63)
+    else b(i >> 6) &= ~(1L << (i & 63))
+
+  /** Lock-free bit write for the parallel singleton-bit pass: bits of
+    * different communities in one word commute (CAS or/and); two moves
+    * touching the SAME community write the same final value (csize is
+    * final by then), so races are idempotent.
+    */
+  @inline private def atomicSetBit(b: Array[Long], i: Int, v: Boolean): Unit = {
+    val off = LOff + (i >> 6) * LScale
+    val mask = 1L << (i & 63)
+    var ok = false
+    while (!ok) {
+      val cur = U.getLongVolatile(b, off)
+      val nxt = if (v) cur | mask else cur & ~mask
+      ok = nxt == cur || U.compareAndSwapLong(b, off, cur, nxt)
+    }
+  }
 
   /** Move-count floor for the parallel apply: below it the fork-join
     * dispatch costs more than the serial loop saves (converged sweeps move
@@ -169,17 +188,23 @@ object CsrSweep {
     * one task — the straggler that set every half-sweep's job wall (the
     * north rule's "salting for high-degree hub vertices" concern, solved
     * here by balancing rather than salting because the fused argmax needs
-    * per-src completeness). ~2 blocks per core bound the tail without
-    * drowning in task-launch overhead; sampling boundaries vary run to
-    * run, but results don't depend on block composition (per-src
-    * accumulation is dst-sorted within one block, moves apply disjointly
-    * by src, dq sums in ascending-src order on the driver).
+    * per-src completeness). ONE block per core (a single task wave) is the
+    * measured default: on the 128M-edge deg-32 fixture it beats 2/core at
+    * 32 cores by 15% (394M vs 342M e/s/iter best-of-3) because the second
+    * wave pays task launch + a cold restart of the adjacency stream, and
+    * equal-EDGE range blocks already bound the tail that overdecomposition
+    * would otherwise smooth (the 8-core legs differ <9% between 1x and 2x).
+    * SPARK_GRAFT_CSR_PARTS_MULT overrides for graphs whose skew outruns
+    * the sampler. Sampling boundaries vary run to run, but results don't
+    * depend on block composition (per-src accumulation is dst-sorted
+    * within one block, moves apply disjointly by src, dq sums in
+    * ascending-src order on the driver).
     */
   def build(edges: DataFrame, n: Int, parts: Int = 0): RDD[CsrBlock] = {
     val p =
       if (parts > 0) parts
       else edges.sparkSession.sparkContext.defaultParallelism *
-        sys.env.getOrElse("SPARK_GRAFT_CSR_PARTS_MULT", "2").toInt
+        sys.env.getOrElse("SPARK_GRAFT_CSR_PARTS_MULT", "1").toInt
     val rows = edges.repartitionByRange(p, col("src"))
       .select(col("src").cast("int"), col("dst").cast("int"),
         col("w").cast("double"))
@@ -278,11 +303,11 @@ object CsrSweep {
   /** Deep-copy of a state's mutable members (bench repetition restarts). */
   final case class Snap(comm: Array[Long], acc0: Array[Byte], acc1: Array[Byte],
                         seedAlive: Array[Boolean], commI: Array[Int],
-                        ctot: Array[Double], csize: Array[Int], sgl: Array[Byte])
+                        ctot: Array[Double], csize: Array[Int], sgl: Array[Long])
 
   /** Full-state snapshot shipped once per rebase in delta mode. */
   final case class CsrBase(commI: Array[Int], ctot: Array[Double],
-                           csize: Array[Int], sgl: Array[Byte])
+                           csize: Array[Int], sgl: Array[Long])
 
   private val stateIds = new java.util.concurrent.atomic.AtomicLong
 
@@ -307,13 +332,27 @@ object CsrSweep {
     var commI: Array[Int] = null
     var ctot: Array[Double] = null
     var csize: Array[Int] = null
-    var sgl: Array[Byte] = null
+    var sgl: Array[Long] = null
   }
   private val mirrors =
     new java.util.concurrent.ConcurrentHashMap[Long, ExecMirror]()
 
   /** Test hook: live mirror entries on this JVM's executor side. */
   private[graft] def mirrorCount: Int = mirrors.size
+
+  /** local[k] fast path: tasks run in the driver's JVM, so the per-sweep
+    * (commI, ctot, sgl) payload needs no broadcast at all — TorrentBroadcast
+    * still SERIALIZES ~16 B/vertex at construction (~25 ms/half-sweep at 2M
+    * vertices, a pure driver serial term under the N->4N witness). Instead
+    * the driver registers the live arrays here keyed by (stateId, sweep
+    * sequence) and tasks read them directly; safe because every task of the
+    * half-sweep completes inside collect() strictly before the apply loop
+    * mutates the arrays (same reasoning as the live-array broadcast it
+    * replaces), and the key is removed in the sweep's finally. Cluster
+    * masters never touch this path.
+    */
+  private val localSweepState =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), (Array[Int], Array[Double], Array[Long])]()
 
   /** Single-flight per executor: the first task of a half-sweep
     * materializes/advances the mirror (O(base) once per rebase, O(moves)
@@ -364,12 +403,12 @@ object CsrSweep {
           ctot(from) -= vts; ctot(to) += vts
           val fs = csize(from) - 1
           csize(from) = fs
-          if (fs == 1) sgl(from >> 3) = (sgl(from >> 3) | (1 << (from & 7))).toByte
-          else sgl(from >> 3) = (sgl(from >> 3) & ~(1 << (from & 7))).toByte
+          if (fs == 1) sgl(from >> 6) |= 1L << (from & 63)
+          else sgl(from >> 6) &= ~(1L << (from & 63))
           val ts = csize(to) + 1
           csize(to) = ts
-          if (ts == 1) sgl(to >> 3) = (sgl(to >> 3) | (1 << (to & 7))).toByte
-          else sgl(to >> 3) = (sgl(to >> 3) & ~(1 << (to & 7))).toByte
+          if (ts == 1) sgl(to >> 6) |= 1L << (to & 63)
+          else sgl(to >> 6) &= ~(1L << (to & 63))
           commI(s) = to
           j += 1
         }
@@ -423,7 +462,7 @@ object CsrSweep {
     }
     private[CsrSweep] val ctot = new Array[Double](n)
     private[CsrSweep] val csize = new Array[Int](n)
-    private[CsrSweep] val sgl = new Array[Byte](nBytes)
+    private[CsrSweep] val sgl = new Array[Long]((n + 63) / 64)
     rebuildTotals()
     /** Delta mode: per half-sweep, ship only the moves the driver just
       * applied (8 B/move) instead of the full commI+ctot+sgl snapshot
@@ -444,6 +483,8 @@ object CsrSweep {
         .getOrElse(!csr.sparkContext.isLocal)
     private[CsrSweep] val stateId: Long = stateIds.incrementAndGet()
     liveStates.add(stateId)
+    // per-state sweep sequence: the localSweepState registry key suffix
+    private[CsrSweep] var sweepSeq: Long = 0L
     private[CsrSweep] var gen: Long = 0L
     private[CsrSweep] var baseBc: Broadcast[CsrBase] = null
     private[CsrSweep] var deltaBcs: Vector[Broadcast[Array[Long]]] = Vector.empty
@@ -464,12 +505,12 @@ object CsrSweep {
     private[CsrSweep] def rebuildTotals(): Unit = {
       java.util.Arrays.fill(ctot, 0.0)
       java.util.Arrays.fill(csize, 0)
-      java.util.Arrays.fill(sgl, 0.toByte)
+      java.util.Arrays.fill(sgl, 0L)
       var i = 0
       while (i < n) { val c = commI(i); ctot(c) += vtot(i); csize(c) += 1; i += 1 }
       i = 0
       while (i < n) {
-        if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
+        if (csize(i) == 1) sgl(i >> 6) |= 1L << (i & 63)
         i += 1
       }
     }
@@ -489,7 +530,7 @@ object CsrSweep {
       Array.copy(s.commI, 0, commI, 0, n)
       Array.copy(s.ctot, 0, ctot, 0, n)
       Array.copy(s.csize, 0, csize, 0, n)
-      Array.copy(s.sgl, 0, sgl, 0, nBytes)
+      Array.copy(s.sgl, 0, sgl, 0, sgl.length)
     }
     /** Re-init to singletons for the refinement phase, reusing this
       * state's vtot broadcast; returns the previous membership (the
@@ -529,6 +570,9 @@ object CsrSweep {
   @inline private def bit(b: Array[Byte], i: Int): Boolean =
     (b(i >> 3) & (1 << (i & 7))) != 0
 
+  @inline private def bitL(b: Array[Long], i: Int): Boolean =
+    (b(i >> 6) & (1L << (i & 63))) != 0
+
   /** Community totals + singleton flags, derived from (comm, vtot). The
     * kernel needs these per half-sweep but they are a pure O(V) function
     * of the membership — so instead of broadcasting 8 B/vertex of ctot on
@@ -540,9 +584,9 @@ object CsrSweep {
     */
   private val derivMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Array[Int], (Array[Double], Array[Byte])]())
+      new java.util.WeakHashMap[Array[Int], (Array[Double], Array[Long])]())
 
-  private def derive(comm: Array[Int], vt: Array[Double]): (Array[Double], Array[Byte]) = {
+  private def derive(comm: Array[Int], vt: Array[Double]): (Array[Double], Array[Long]) = {
     val got = derivMemo.get(comm)
     if (got != null) return got
     // single-flight per broadcast value: every task of a half-sweep sees
@@ -560,10 +604,10 @@ object CsrSweep {
       val csize = new Array[Int](n)
       var i = 0
       while (i < n) { val c = comm(i); ctot(c) += vt(i); csize(c) += 1; i += 1 }
-      val sgl = new Array[Byte]((n + 7) / 8)
+      val sgl = new Array[Long]((n + 63) / 64)
       i = 0
       while (i < n) {
-        if (csize(i) == 1) sgl(i >> 3) = (sgl(i >> 3) | (1 << (i & 7))).toByte
+        if (csize(i) == 1) sgl(i >> 6) |= 1L << (i & 63)
         i += 1
       }
       val r = (ctot, sgl)
@@ -628,13 +672,19 @@ object CsrSweep {
     //     commI can never hit a stale memo entry.
     val deltaOn = st.deltaMode
     var bcComm: Broadcast[Array[Int]] = null
-    var bcTot: Broadcast[(Array[Double], Array[Byte])] = null
+    var bcTot: Broadcast[(Array[Double], Array[Long])] = null
+    var localKey: (Long, Long) = null
     if (deltaOn) {
       if (st.baseBc == null || st.deltaBcs.size >= RebaseEvery) st.rebase()
       else if (st.pendingDelta.nonEmpty) {
         st.deltaBcs :+= sc.broadcast(st.pendingDelta)
         st.pendingDelta = Array.emptyLongArray
       }
+    } else if (st.integral && sc.isLocal) {
+      // same-JVM registry instead of a broadcast (localSweepState scaladoc)
+      localKey = (st.stateId, st.sweepSeq)
+      st.sweepSeq += 1
+      localSweepState.put(localKey, (st.commI, st.ctot, st.sgl))
     } else {
       bcComm = sc.broadcast(if (st.integral) st.commI else st.commI.clone())
       if (st.integral) bcTot = sc.broadcast((st.ctot, st.sgl))
@@ -665,6 +715,8 @@ object CsrSweep {
           if (deltaOn) {
             val mir = resolveMirror(mirSid, mirGen, mirWm, mirBase, mirDeltas, vt)
             (mir.commI, mir.ctot, mir.sgl)
+          } else if (localKey != null) {
+            localSweepState.get(localKey)
           } else if (bcTot != null) {
             val t = bcTot.value
             (bcComm.value, t._1, t._2)
@@ -722,7 +774,7 @@ object CsrSweep {
           val s = srcs(k)
           if ((s & 1) == par) {
             val ccur = comm(s)
-            val refineOk = !refine || bit(sglL, ccur)
+            val refineOk = !refine || bitL(sglL, ccur)
             if (refineOk) {
               val e0 = off(k); val e1 = off(k + 1)
               // inline frontier test: live seed mark on s itself, else an
@@ -835,7 +887,7 @@ object CsrSweep {
                   // and (score, smaller community id) tie rule as the
                   // Catalyst tiers; order-independent strict compare
                   val vtotU = vt(s)
-                  val sglCur = bit(sglL, ccur)
+                  val sglCur = bitL(sglL, ccur)
                   var wud = 0.0
                   var bestC = -1
                   var bestScore = 0.0
@@ -845,7 +897,7 @@ object CsrSweep {
                     val c = keys(h)
                     val wuc = vals(h)
                     if (c == ccur) wud = wuc
-                    else if (!(sglCur && bit(sglL, c) && c > ccur)) {
+                    else if (!(sglCur && bitL(sglL, c) && c > ccur)) {
                       val score = wuc / m - res * vtotU * ct(c) / twoM2
                       if (bestC < 0 || score > bestScore ||
                           (score == bestScore && c < bestC)) {
@@ -946,24 +998,25 @@ object CsrSweep {
             j += 1
           }
         }
-        // (3) SERIAL singleton-bit pass from the now-final sizes: the
+        // (3) PARALLEL singleton-bit pass from the now-final sizes: the
         // serial per-update rule's final bit equals (csize == 1) — the
         // same invariant the mirror replay documents — so recomputing
-        // from final sizes is bit-identical and order-free.
+        // from final sizes is bit-identical and order-free. The pass's
+        // real cost is two RANDOM csize loads per move (DRAM latency);
+        // running it over blocks overlaps those latencies, and the bit
+        // writes are lock-free and idempotent (atomicSetBit scaladoc).
         if (inc) {
-          var b = 0
-          while (b < out.length) {
+          java.util.stream.IntStream.range(0, out.length).parallel().forEach { b =>
             val mp = out(b)._1
             var j = 0
             while (j < mp.length) {
               val pk = mp(j)
               val from = (pk >>> 32).toInt
               val to = (pk & 0xFFFFFFFFL).toInt
-              setBit(st.sgl, from, st.csize(from) == 1)
-              setBit(st.sgl, to, st.csize(to) == 1)
+              atomicSetBit(st.sgl, from, st.csize(from) == 1)
+              atomicSetBit(st.sgl, to, st.csize(to) == 1)
               j += 1
             }
-            b += 1
           }
         }
       } else {
@@ -984,10 +1037,10 @@ object CsrSweep {
               // singleton bit: set iff the community's size is exactly 1
               // after EACH update — `to` can go 0 -> 1 when earlier movers
               // of this same apply batch drained it first
-              setBit(st.sgl, from, fs == 1)
+              setBitL(st.sgl, from, fs == 1)
               val ts = st.csize(to) + 1
               st.csize(to) = ts
-              setBit(st.sgl, to, ts == 1)
+              setBitL(st.sgl, to, ts == 1)
             }
             st.comm(s) = to.toLong
             st.commI(s) = to
@@ -1007,6 +1060,7 @@ object CsrSweep {
       val d0 = System.nanoTime()
       // delta mode keeps its chain alive for fresh-executor replay; it is
       // destroyed at rebase / reset / close instead
+      if (localKey != null) localSweepState.remove(localKey)
       if (bcComm != null) bcComm.destroy()
       if (bcTot != null) bcTot.destroy()
       Timers.destroy.addAndGet(System.nanoTime() - d0)

@@ -614,6 +614,62 @@ object Multimodal {
     }
   }
 
+  /** SQL-replicable twin of [[syntheticMedia]]: same row shapes and the
+    * same REAL codecs, but every parameter (width, height, channels,
+    * sample rate, frame count) and every pixel/sample is closed-form
+    * modular arithmetic in (id) instead of scala.util.Random draws — so an
+    * ANSI SQL oracle can recompute the decoded metadata (dimensions,
+    * px_sum payload checksums, frame-sample times) WITHOUT decoding,
+    * putting the real decode pipeline's outputs under the cross-engine
+    * hash (the same twin device as d_minhash_pairs_md5). Images rotate
+    * over the lossless codecs only (BMP/PPM/PNG/16-gray GIF) so px_sum is
+    * formula-exact; the lossy JPEG leg stays covered by
+    * [[syntheticMedia]]'s bounded goldens in MultimodalSpec.
+    */
+  def syntheticMediaSql(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          val w = 16 + ((id * 7919) % 64).toInt
+          val h = 16 + ((id * 104729) % 64).toInt
+          val encCase = (id / 3) % 4
+          val enc = if (encCase == 3) {
+            val pix = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              val v = (((id * 31 + p * 7) % 16) * 17).toByte
+              pix(p * 3) = v; pix(p * 3 + 1) = v; pix(p * 3 + 2) = v
+              p += 1
+            }
+            Codecs.Jdk.encodeGif(Codecs.Image(w, h, 3, pix))
+          } else {
+            val pix = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+            val img = Codecs.Image(w, h, 3, pix)
+            encCase match {
+              case 0 => Codecs.Bmp.encode(img)
+              case 1 => Codecs.Ppm.encode(img)
+              case _ => Codecs.Png.encode(img)
+            }
+          }
+          MediaRow(id, "image", enc)
+        case 1 =>
+          val channels = 1 + (id % 2).toInt
+          val rate = if ((id / 3) % 2 == 0) 8000 else 16000
+          val samples = Array.tabulate(256 * channels)(i =>
+            ((id * 131 + i * 17) % 4096 - 2048).toShort)
+          MediaRow(id, "audio", Codecs.Wav.encode(channels, rate, samples))
+        case _ =>
+          val w = 8 + 2 * ((id * 11) % 5).toInt
+          val h = 6 + 2 * ((id * 5) % 4).toInt
+          val nFrames = 3 + ((id * 3) % 5).toInt
+          val frames = (0 until nFrames).map(f =>
+            Array.tabulate(w * h * 3)(i => ((id * 17 + f * 101 + i) % 256).toByte))
+          MediaRow(id, "video", Codecs.Y4m.encode(w, h, 4, 1, frames))
+      }
+    }
+  }
+
   /** Decode image metadata batch-wise; undecodable rows are dropped (a
     * production pipeline would route them to a quarantine sink).
     */

@@ -57,6 +57,42 @@ object Pages {
     import spark.implicits._
     spark.range(nPages).as[Long].map(id => makePage(id, nPages, nSites, seed))
   }
+
+  /** SQL-replicable twin of [[synthetic]]: same page/url/html/timestamp
+    * shapes, but words and link targets are closed-form modular arithmetic
+    * in (id) instead of Random draws, so an ANSI SQL oracle can recompute
+    * both the extracted-text digests and the full link graph without
+    * parsing html (CORRECTNESS p_*_sql rows). The hub skew keeps the
+    * u^2-bias of [[makePage]] in exact integer math: with q uniform in
+    * [0, 10^6), t = min(n-1, q*q*id / 10^12) — the same floor(u^2 * id)
+    * target law, no cross-engine floating point.
+    */
+  def syntheticSql(spark: SparkSession, nPages: Long,
+                   nSites: Int = 50): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(nPages).as[Long].map { id =>
+      val site = id % nSites
+      val url = urlOf(site, id / nSites)
+      val nWords = 20 + ((id * 3) % 60).toInt
+      val text = (0 until nWords)
+        .map(k => WORDS(((id * 7 + k * 31) % WORDS.length).toInt)).mkString(" ")
+      val nLinks = 2 + ((id * 13) % 10).toInt
+      val targets = (0 until nLinks).map { k =>
+        val q = (id * 2654435761L + k * 40503L) % 1000000L
+        val t = math.min(nPages - 1, q * q * id / 1000000000000L)
+        urlOf(t % nSites, t / nSites)
+      }.distinct.filterNot(_ == url)
+      val anchors = targets.zipWithIndex
+        .map { case (t, i) => s"""<a href="$t">link$i</a>""" }.mkString("\n")
+      val html =
+        s"""<html><head><title>page $id</title></head>
+           |<body><p>$text</p>
+           |$anchors
+           |</body></html>""".stripMargin.getBytes(UTF_8)
+      val ts = new java.sql.Timestamp(1600000000000L + (id % 86400) * 1000L)
+      Page(url, ts, html, text, LANGS((site % LANGS.length).toInt))
+    }
+  }
 }
 
 /** Link extraction: pages -> edge table, plus the byte-identical text
