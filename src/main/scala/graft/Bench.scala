@@ -551,8 +551,11 @@ object Bench {
           // wrong thing:
           //   - legEff/aluEff > 1.05 on a 4x step is physically
           //     meaningless => the LO point ran contended; remeasure lo.
-          //   - aluEff < 0.8 => the HI window got starved of cores by a
-          //     co-tenant; remeasure hi.
+          //   - aluEff < 0.8 AND legEff below 0.75 => the HI window got
+          //     starved of cores by a co-tenant AND it mattered; remeasure
+          //     hi. Once legEff is >= 0.75 a starved-window reading is
+          //     already conservative — burning more attempts on it starved
+          //     the in-JVM phase of the round-5 run-A budget.
           //   - legEff < half of what the SAME window's bare-ALU witness
           //     delivered on the 4x step is a (near-)inversion: the kernel
           //     job is core-parallel, so 4x executors of a deterministic
@@ -571,7 +574,8 @@ object Bench {
             yield h / l / 4.0).getOrElse(1.0)
           var tries = 0
           while (tries < 4 && lo.isDefined && hi.isDefined && remaining > 420 &&
-                 (legEff > 1.05 || aluEff > 1.05 || aluEff < 0.8 ||
+                 (legEff > 1.05 || aluEff > 1.05 ||
+                  (aluEff < 0.8 && legEff < 0.75) ||
                   legEff < 0.5 * aluEff ||
                   (legEff < 0.75 && hwEff > 0.9 && tries < 1))) {
             if (legEff > 1.05 || aluEff > 1.05) {

@@ -27,6 +27,29 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame, maxIters: Int = 200): DataFrame = {
     val spark = edges.sparkSession
+    // dense tier (DenseKernel scaladoc): local master + ids below the
+    // broadcast gate => shared-array atomic-min propagation, one job per
+    // round instead of a join+agg+count per round. Fixpoint-exact, so it
+    // only stands in when maxIters is the run-to-convergence default.
+    if (spark.sparkContext.isLocal && maxIters >= 200) {
+      val maxV = vertices.agg(max(col("id").cast("long"))).head()
+      val maxE = edges.agg(greatest(max(col("src").cast("long")), max(col("dst").cast("long")))).head()
+      val hi = math.max(if (maxV.isNullAt(0)) -1L else maxV.getLong(0),
+        if (maxE.isNullAt(0)) -1L else maxE.getLong(0))
+      if (hi >= 0 && hi < graft.leiden.LocalMove.CtBroadcastMax) {
+        import spark.implicits._
+        val packed = DenseKernel.pack(edges).cache()
+        val lab = DenseKernel.cc(packed, hi.toInt + 1)
+        packed.unpersist(blocking = false)
+        val labB = spark.sparkContext.broadcast(lab)
+        val out = PlanUtils.checkpointTruncated(
+          vertices.select(col("id").cast("long")).as[Long]
+            .mapPartitions(it => it.map(v => (v, labB.value(v.toInt).toLong)))
+            .toDF("id", "comp"))
+        labB.destroy()
+        return out
+      }
+    }
     val e = edges.select("src", "dst").cache()
     var labels = PlanUtils.checkpointTruncated(
       vertices.select(col("id"), col("id").as("comp")))
