@@ -402,7 +402,11 @@ object Bench {
     // at 32M edges Amdahl alone capped a 4x step near 0.59). Density is
     // also the representative one — production web graphs run E/V≈40-80.
     val scaleDeg = sys.env.getOrElse("SPARK_GRAFT_SCALE_DEG", "32").toInt
-    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "2100").toDouble
+    // 2700 (was 2100): round-5 runs A and C showed a full executor phase
+    // with its retry budget spent leaves <240 s for the in-JVM pair at
+    // 2100 — the executor witness (the north rule's own mode) keeps its
+    // priority slot, the bump restores the in-JVM witness behind it
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "2700").toDouble
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LINE.json")
     val tStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
