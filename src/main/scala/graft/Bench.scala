@@ -269,6 +269,9 @@ object Bench {
       // step scales executor COUNT, not executor size (5g OOM'd the
       // 1-executor point under the 4M-doc cached witness)
       "--conf", "spark.executor.memory=12g",
+      // advertised explicitly so executor-side pools (CsrSweep.replayPool)
+      // bound themselves to the executor's share of the box, not all of it
+      "--conf", s"spark.executor.cores=$coresPerExec",
       "--conf", "spark.driver.memory=6g",
       // no locality stalls: the witnesses read evenly-cached deterministic
       // fixtures; a 3s-per-level locality wait would serialize any

@@ -361,11 +361,43 @@ object CsrSweep {
     * base + all deltas since — every payload is a Broadcast, fetchable on
     * first access, so recovery needs no driver round-trip.
     *
-    * The per-update sgl rule matches the driver apply exactly; since no
-    * later move touches a community after its last update, the final bits
-    * equal (csize == 1) — order-independent, and ±vtot adds are exact on
-    * the integral-weight gate that enables this mode.
+    * Big replays run PARALLEL (same machinery and exactness argument as
+    * the driver apply's parallel pass): every task of the half-sweep
+    * blocks on this single-flight, so a serial O(moves) scatter here was
+    * an executor-local Amdahl term that GREW relative to the kernel as
+    * executors were added — the 4×8 point paid the same per-executor
+    * replay wall as 1×8 against a 4× smaller kernel job. Within one delta
+    * epoch each src moves at most once, so commI writes are disjoint;
+    * ctot/csize scatter-adds use lock-free atomic RMW, exact because the
+    * ±vtot adds are integral doubles on the gate that enables delta mode;
+    * epochs apply in order (a src may move again in a later epoch). The
+    * singleton bitmap is rebuilt from FINAL sizes after the last epoch —
+    * the per-update rule's final bits equal (csize == 1), so the rebuild
+    * is bit-identical and order-free. Small replays (converged sweeps)
+    * keep the serial per-update rule: fork-join dispatch plus the O(V)
+    * bitmap rebuild would cost more than they save.
     */
+  /** Executor-side replay parallelism, bounded by the executor's ADVERTISED
+    * core count (`spark.executor.cores`), not the box's: the ForkJoin
+    * common pool sizes itself from host CPUs, and on a one-box
+    * local-cluster emulation that would hand the 1-executor scaling point
+    * a 32-thread replay — inflating the lo leg the N->4N witness divides
+    * by. A real executor should also not burst past its core reservation
+    * into a co-tenant's share. Unset (local-mode tests, driver-side
+    * mirrors) falls back to host CPUs, which is then the truth.
+    */
+  private lazy val replayPool: java.util.concurrent.ForkJoinPool = {
+    val cores =
+      try {
+        val env = org.apache.spark.SparkEnv.get
+        if (env != null)
+          env.conf.getInt("spark.executor.cores",
+            Runtime.getRuntime.availableProcessors())
+        else Runtime.getRuntime.availableProcessors()
+      } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
+    new java.util.concurrent.ForkJoinPool(math.max(1, cores))
+  }
+
   private def resolveMirror(sid: Long, gen: Long, watermark: Long,
                             base: Broadcast[CsrBase],
                             deltas: IndexedSeq[Broadcast[Array[Long]]],
@@ -390,29 +422,75 @@ object CsrSweep {
         m.csize = b.csize.clone(); m.sgl = b.sgl.clone()
         m.gen = gen; m.epoch = 0
       }
+      var totalNew = 0
+      var ei = m.epoch
+      while (ei < deltas.length) { totalNew += deltas(ei).value.length; ei += 1 }
+      val par = totalNew >= ParallelApplyMin
       while (m.epoch < deltas.length) {
         val mv = deltas(m.epoch).value
         val commI = m.commI; val ctot = m.ctot; val csize = m.csize; val sgl = m.sgl
-        var j = 0
-        while (j < mv.length) {
-          val pk = mv(j)
-          val s = (pk >>> 32).toInt
-          val to = (pk & 0xFFFFFFFFL).toInt
-          val from = commI(s)
-          val vts = vt(s)
-          ctot(from) -= vts; ctot(to) += vts
-          val fs = csize(from) - 1
-          csize(from) = fs
-          if (fs == 1) sgl(from >> 6) |= 1L << (from & 63)
-          else sgl(from >> 6) &= ~(1L << (from & 63))
-          val ts = csize(to) + 1
-          csize(to) = ts
-          if (ts == 1) sgl(to >> 6) |= 1L << (to & 63)
-          else sgl(to >> 6) &= ~(1L << (to & 63))
-          commI(s) = to
-          j += 1
+        if (par) {
+          val chunk = 1 << 15
+          val nCh = (mv.length + chunk - 1) / chunk
+          // parallel streams invoked from inside a ForkJoinPool task run in
+          // THAT pool — this bounds the replay to the executor's cores
+          replayPool.submit(new Runnable {
+            def run(): Unit =
+              java.util.stream.IntStream.range(0, nCh).parallel().forEach { c =>
+                var j = c * chunk
+                val end = math.min(j + chunk, mv.length)
+                while (j < end) {
+                  val pk = mv(j)
+                  val s = (pk >>> 32).toInt
+                  val to = (pk & 0xFFFFFFFFL).toInt
+                  val from = commI(s)
+                  val vts = vt(s)
+                  atomicAdd(ctot, from, -vts)
+                  atomicAdd(ctot, to, vts)
+                  atomicAddInt(csize, from, -1)
+                  atomicAddInt(csize, to, 1)
+                  commI(s) = to
+                  j += 1
+                }
+              }
+          }).get()
+        } else {
+          var j = 0
+          while (j < mv.length) {
+            val pk = mv(j)
+            val s = (pk >>> 32).toInt
+            val to = (pk & 0xFFFFFFFFL).toInt
+            val from = commI(s)
+            val vts = vt(s)
+            ctot(from) -= vts; ctot(to) += vts
+            val fs = csize(from) - 1
+            csize(from) = fs
+            if (fs == 1) sgl(from >> 6) |= 1L << (from & 63)
+            else sgl(from >> 6) &= ~(1L << (from & 63))
+            val ts = csize(to) + 1
+            csize(to) = ts
+            if (ts == 1) sgl(to >> 6) |= 1L << (to & 63)
+            else sgl(to >> 6) &= ~(1L << (to & 63))
+            commI(s) = to
+            j += 1
+          }
         }
         m.epoch += 1
+      }
+      if (par && totalNew > 0) {
+        // singleton bits from final sizes: one sequential O(V) scan (~ms at
+        // the 4M-vertex gate) instead of 2 random csize loads per move
+        val csize = m.csize; val sgl = m.sgl
+        val n = csize.length
+        var wi = 0
+        while (wi < sgl.length) {
+          var word = 0L
+          var b = wi << 6
+          val end = math.min(b + 64, n)
+          while (b < end) { if (csize(b) == 1) word |= 1L << (b & 63); b += 1 }
+          sgl(wi) = word
+          wi += 1
+        }
       }
     }
     m

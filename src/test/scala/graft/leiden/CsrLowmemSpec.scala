@@ -130,6 +130,32 @@ class CsrLowmemSpec extends SparkSpec {
     csr.unpersist(); edges.unpersist()
   }
 
+  test("parallel mirror replay is bit-identical to the serial replay (delta mode)") {
+    // deltaBcast=Some(true) forces the executor-mirror exchange on the local
+    // master; ParallelApplyMin=1 then forces BOTH the parallel driver apply
+    // and the parallel epoch replay inside resolveMirror on every sweep
+    val n = 300
+    val edges = sbmEdges(19, n)
+    val (m, vt) = vtArr(edges, n)
+    val csr = CsrSweep.build(edges, n, parts = 4).cache()
+    def fullRun(): (Int, Long, Int, Long, Seq[Long]) = {
+      val st = CsrSweep.singleton(csr, n, vt, deltaBcast = Some(true))
+      val (itM, mvM) = CsrSweep.run(st, m, 1.0, 1e-9, 50)
+      val bound = st.resetToSingletons()
+      val (itR, mvR) = CsrSweep.run(st, m, 1.0, 1e-9, 50,
+        boundArr = Some(bound), refineSingletons = true)
+      val out = (itM, mvM, itR, mvR, st.comm.toSeq)
+      st.close()
+      out
+    }
+    val serial = fullRun()
+    val old = CsrSweep.ParallelApplyMin
+    CsrSweep.ParallelApplyMin = 1
+    val parallel = try fullRun() finally CsrSweep.ParallelApplyMin = old
+    assert(parallel === serial)
+    csr.unpersist(); edges.unpersist()
+  }
+
   test("executor mirrors of closed delta-mode states are evicted at the live watermark") {
     val n = 300
     val edges = sbmEdges(19, n)
