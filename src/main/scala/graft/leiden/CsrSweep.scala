@@ -175,7 +175,64 @@ object CsrSweep {
     * double addition is associative here, so decisions are unchanged.
     */
   final case class CsrBlock(srcs: Array[Int], off: Array[Int],
-                            dst: Array[Int], w: Array[Double])
+                            dst: Array[Int], w: Array[Double],
+                            packed: Array[Long] = null,
+                            widths: Array[Byte] = null,
+                            bitOff: Array[Long] = null)
+
+  /** Pack a unit-weight block's dst-sorted adjacencies as per-src
+    * fixed-width bit-packed GAPS (gap_0 = dst_0 + 1, gap_i = dst_i −
+    * dst_{i−1}; all ≥ 1 on the deduped canonical table; width =
+    * bits(max gap) per src). On the 2M-vertex deg-32 scaling fixture the
+    * mean gap is ~V/deg ≈ 62k ⇒ ~18 bits/edge vs the 32-bit Int stream —
+    * a ~45% cut in the kernel's dominant DRAM term (the roofline measured
+    * this box's bandwidth scaling 1.51× on a 4× thread step, so edge BYTES
+    * are the scaling ceiling, not instructions; the ~5 ALU ops/edge decode
+    * hides under the memory wait it removes). Web graphs cluster their
+    * links, so real gaps (and widths) shrink further. Returns
+    * (packed, widths, bitOff); decode is inlined in [[halfSweep]].
+    */
+  private def packGaps(srcs: Array[Int], off: Array[Int], dstA: Array[Int])
+      : (Array[Long], Array[Byte], Array[Long]) = {
+    val nSrc = srcs.length
+    val widths = new Array[Byte](nSrc)
+    val bitOff = new Array[Long](nSrc + 1)
+    var totalBits = 0L
+    var k = 0
+    while (k < nSrc) {
+      val eA = off(k); val eB = off(k + 1)
+      var prev = -1; var maxGap = 1
+      var e = eA
+      while (e < eB) {
+        val g = dstA(e) - prev
+        if (g > maxGap) maxGap = g
+        prev = dstA(e); e += 1
+      }
+      val wd = 32 - Integer.numberOfLeadingZeros(maxGap)
+      widths(k) = wd.toByte
+      bitOff(k) = totalBits
+      totalBits += wd.toLong * (eB - eA)
+      k += 1
+    }
+    bitOff(nSrc) = totalBits
+    // +1 pad word so the straddle read `packed(wIdx + 1)` never bounds-checks
+    val packed = new Array[Long](((totalBits + 63) >>> 6).toInt + 1)
+    k = 0
+    while (k < nSrc) {
+      var bp = bitOff(k); val wd = widths(k).toInt
+      var prev = -1
+      var e = off(k)
+      while (e < off(k + 1)) {
+        val g = (dstA(e) - prev).toLong
+        val wIdx = (bp >>> 6).toInt; val sh = (bp & 63).toInt
+        packed(wIdx) |= g << sh
+        if (sh + wd > 64) packed(wIdx + 1) |= g >>> (64 - sh)
+        prev = dstA(e); e += 1; bp += wd
+      }
+      k += 1
+    }
+    (packed, widths, bitOff)
+  }
 
   /** Pack the edge cache into per-partition CSR blocks — one job per
     * phase, cached deserialized by the caller. The per-block argmax is
@@ -200,7 +257,14 @@ object CsrSweep {
     * within one block, moves apply disjointly by src, dq sums in
     * ascending-src order on the driver).
     */
+  /** Gap-packed unit blocks (see [[packGaps]]); var so parity specs and the
+    * A/B bench can flip it per run. SPARK_GRAFT_CSR_PACK=0 opts out.
+    */
+  private[graft] var PackGaps: Boolean =
+    !sys.env.get("SPARK_GRAFT_CSR_PACK").contains("0")
+
   def build(edges: DataFrame, n: Int, parts: Int = 0): RDD[CsrBlock] = {
+    val pack = PackGaps // driver-side read, captured by the closure
     val p =
       if (parts > 0) parts
       else edges.sparkSession.sparkContext.defaultParallelism *
@@ -266,7 +330,10 @@ object CsrSweep {
       if (unit) {
         k = 0
         while (k < nSrc) { java.util.Arrays.sort(dstA, off(k), off(k + 1)); k += 1 }
-        Iterator.single(CsrBlock(srcs, off, dstA, null))
+        if (pack) {
+          val (pk, wd, bo) = packGaps(srcs, off, dstA)
+          Iterator.single(CsrBlock(srcs, off, null, null, pk, wd, bo))
+        } else Iterator.single(CsrBlock(srcs, off, dstA, null))
       } else {
         var maxDeg = 0
         k = 0
@@ -847,6 +914,10 @@ object CsrSweep {
         val sws = if (slots > 0) new Array[Double](slots) else null
         val srcs = blk.srcs; val off = blk.off; val dst = blk.dst
         val w = blk.w // null => all 1.0 (unit-weight block, 4 B/edge)
+        val packed = blk.packed; val pWidths = blk.widths; val pBitOff = blk.bitOff
+        // gap-decode scratch (packed blocks): one src's adjacency, grown to
+        // the block's max degree on demand
+        var dbuf = if (packed != null) new Array[Int](1 << 10) else null
         var k = 0
         while (k < srcs.length) {
           val s = srcs(k)
@@ -856,16 +927,44 @@ object CsrSweep {
             if (refineOk) {
               val e0 = off(k); val e1 = off(k + 1)
               // inline frontier test: live seed mark on s itself, else an
-              // edge into acc (self-loops count — symmetric table)
+              // edge into acc (self-loops count — symmetric table). Packed
+              // blocks fold the test into the single decode pass — the
+              // unpacked early exit saves nothing there because a miss
+              // must scan (decode) the whole adjacency either way.
               var front = seedL != null && bit(seedL, s)
-              if (!front) {
-                var e = e0
-                while (!front && e < e1) { if (bit(accL, dst(e))) front = true; e += 1 }
+              var adj = dst
+              var a0 = e0; var a1 = e1
+              if (packed == null) {
+                if (!front) {
+                  var e = e0
+                  while (!front && e < e1) { if (bit(accL, dst(e))) front = true; e += 1 }
+                }
+              } else {
+                val len = e1 - e0
+                if (dbuf.length < len)
+                  dbuf = new Array[Int](math.max(len, dbuf.length * 2))
+                val wd = pWidths(k).toInt
+                val mask = (1L << wd) - 1
+                var bp = pBitOff(k)
+                var cur = -1
+                var i2 = 0
+                while (i2 < len) {
+                  val wIdx = (bp >>> 6).toInt
+                  val sh = (bp & 63).toInt
+                  var bits = packed(wIdx) >>> sh
+                  if (sh + wd > 64) bits |= packed(wIdx + 1) << (64 - sh)
+                  cur += (bits & mask).toInt
+                  dbuf(i2) = cur
+                  if (!front && bit(accL, cur)) front = true
+                  i2 += 1
+                  bp += wd
+                }
+                adj = dbuf; a0 = 0; a1 = len
               }
               if (front) {
                 // accumulate candidates (dst != s; refine: same bound)
                 if (nt > 0) { var t = 0; while (t < nt) { keys(touched(t)) = -1; t += 1 }; nt = 0 }
-                var e = e0
+                var e = a0
                 if (slots > 0) {
                   // lowmem scan (halfSweep scaladoc): MG/BM sketch pass,
                   // replaying MGSketch.Agg.reduce decision-for-decision on
@@ -873,8 +972,8 @@ object CsrSweep {
                   val bs = if (bnd == null) 0 else bnd(s)
                   java.util.Arrays.fill(skeys, -1)
                   java.util.Arrays.fill(sws, 0.0)
-                  while (e < e1) {
-                    val d = dst(e)
+                  while (e < a1) {
+                    val d = adj(e)
                     if (d != s && (bnd == null || bnd(d) == bs)) {
                       val c = comm(d)
                       val we = if (w == null) 1.0 else w(e)
@@ -924,9 +1023,9 @@ object CsrSweep {
                   // exact rescore restricted to the seeded keys (probe
                   // without insert): survivors get their true weights, so
                   // the move decision below is exact over the sketch pool
-                  e = e0
-                  while (e < e1) {
-                    val d = dst(e)
+                  e = a0
+                  while (e < a1) {
+                    val d = adj(e)
                     if (d != s && (bnd == null || bnd(d) == bs)) {
                       val c = comm(d)
                       val h = slot(c)
@@ -935,8 +1034,8 @@ object CsrSweep {
                     e += 1
                   }
                 } else if (bnd == null) {
-                  while (e < e1) {
-                    val d = dst(e)
+                  while (e < a1) {
+                    val d = adj(e)
                     if (d != s) {
                       if ((nt + 1) * 2 > cap) grow()
                       val we = if (w == null) 1.0 else w(e)
@@ -948,8 +1047,8 @@ object CsrSweep {
                   }
                 } else {
                   val bs = bnd(s)
-                  while (e < e1) {
-                    val d = dst(e)
+                  while (e < a1) {
+                    val d = adj(e)
                     if (d != s && bnd(d) == bs) {
                       if ((nt + 1) * 2 > cap) grow()
                       val we = if (w == null) 1.0 else w(e)
