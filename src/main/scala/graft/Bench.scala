@@ -280,6 +280,11 @@ object Bench {
       // match Sessions.configure: the per-half-sweep O(V) broadcast is
       // near-incompressible; lz4 is pure serial driver cost over loopback
       "--conf", "spark.broadcast.compress=false",
+      // match Sessions.configure: Kryo's bulk primitive-array path for the
+      // per-half-sweep delta broadcast + task-result collect (JavaSerializer
+      // was ~40 ms/half-sweep of driver-serial time at 4x8, csr_timers)
+      "--conf", "spark.serializer=org.apache.spark.serializer.KryoSerializer",
+      "--conf", "spark.kryo.unsafe=true",
       jar.toString)
     pb.directory(new java.io.File(System.getProperty("java.io.tmpdir")))
     pb.environment().put("SPARK_GRAFT_SCALE_OUT", out.toString)

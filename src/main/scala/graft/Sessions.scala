@@ -22,6 +22,16 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Kryo for RDD-level payloads (DataFrame shuffles ride Tungsten's own
+      // UnsafeRow path either way). The sweep kernels move primitive arrays
+      // through broadcasts (delta move-lists, membership mirrors) and task
+      // results (packed moves + dq) every half-sweep; JavaSerializer writes
+      // long[]/double[] element-wise (~40 MB/s measured as ~40 ms of
+      // driver-serial bcast per half-sweep at 4x8 executors on the 128M-edge
+      // fixture, ScaleBench csr_timers), Kryo's bulk primitive-array path is
+      // a near-memcpy. spark.kryo.unsafe keeps it on the unsafe fast path.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.unsafe", "true")
     // The Leiden sweep broadcasts O(V) membership+totals every half-sweep;
     // lz4-ing ~24 MB of near-incompressible doubles is a pure serial driver
     // cost that only pays off on a real network. Disable it ONLY when the

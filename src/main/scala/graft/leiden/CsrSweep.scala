@@ -587,8 +587,10 @@ object CsrSweep {
     val acc: Array[Array[Byte]] =
       Array(new Array[Byte](nBytes), new Array[Byte](nBytes))
     // per-half-sweep scratch (allocated once; the serial sections of the
-    // apply must not sort or allocate)
-    private[CsrSweep] val mvScratch = new Array[Byte](nBytes)
+    // apply must not sort or allocate). Long words so the moved-bitmap
+    // writes can ride the PARALLEL scatter pass via atomicSetBit (set-only,
+    // so CAS-OR races commute) instead of the serial dq walk.
+    private[CsrSweep] val mvScratchL = new Array[Long]((n + 63) / 64)
     val seedAlive: Array[Boolean] = Array(true, true)
     private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
       csr.sparkContext.broadcast(vtot)
@@ -1113,8 +1115,8 @@ object CsrSweep {
       out.foreach(p => total += p._1.length)
       // non-moving sweep: frontier state untouched (legacy parity)
       if (total == 0) return (0L, 0.0)
-      val mNew = st.mvScratch
-      java.util.Arrays.fill(mNew, 0.toByte)
+      val mvL = st.mvScratchL
+      java.util.Arrays.fill(mvL, 0L)
       // delta mode: the concatenated moves (in driver-apply order) are the
       // NEXT half-sweep's broadcast payload
       if (deltaOn) {
@@ -1126,22 +1128,18 @@ object CsrSweep {
         st.pendingDelta = all
       }
       val inc = st.integral // incremental totals (exact: integral weights)
-      // Apply, three sections. (1) SERIAL walk: dq left-fold + moved
-      // bitmap. Blocks are ascending src ranges (range partitioning) and
-      // within-block emission is ascending src, so walking out[] in order
-      // IS the ascending-src fp summation order every tier pins — no O(V)
-      // scratch scatter needed, just sequential reads.
+      // Apply, three sections. (1) SERIAL walk: dq left-fold only. Blocks
+      // are ascending src ranges (range partitioning) and within-block
+      // emission is ascending src, so walking out[] in order IS the
+      // ascending-src fp summation order every tier pins — no O(V) scratch
+      // scatter needed, just sequential reads. The moved-bitmap writes
+      // (order-free, set-only) ride the parallel scatter pass below.
       var dq = 0.0
       var wb = 0
       while (wb < out.length) {
-        val (mp, md) = out(wb)
+        val md = out(wb)._2
         var j = 0
-        while (j < mp.length) {
-          val s = (mp(j) >>> 32).toInt
-          mNew(s >> 3) = (mNew(s >> 3) | (1 << (s & 7))).toByte
-          dq += md(j)
-          j += 1
-        }
+        while (j < md.length) { dq += md(j); j += 1 }
         wb += 1
       }
       if (total >= ParallelApplyMin && out.length > 1) {
@@ -1161,6 +1159,7 @@ object CsrSweep {
             val pk = mp(j)
             val s = (pk >>> 32).toInt
             val to = (pk & 0xFFFFFFFFL).toInt
+            atomicSetBit(mvL, s, v = true)
             if (inc) {
               val from = st.commI(s)
               val vts = st.vtot(s)
@@ -1204,6 +1203,7 @@ object CsrSweep {
             val pk = mp(j)
             val s = (pk >>> 32).toInt
             val to = (pk & 0xFFFFFFFFL).toInt
+            setBitL(mvL, s, v = true)
             if (inc) {
               val from = st.commI(s)
               val vts = st.vtot(s)
@@ -1225,11 +1225,18 @@ object CsrSweep {
           }
         }
       }
-      // frontier fold: acc(p) := M, acc(1-p) |= M, seed of p consumed
-      Array.copy(mNew, 0, st.acc(parity), 0, st.nBytes)
+      // frontier fold: acc(p) := M, acc(1-p) |= M, seed of p consumed.
+      // mvL is long words; byte i of the fold is bits 8*(i&7)..8*(i&7)+7 of
+      // word i>>3 (bit s of the byte layout == bit s&63 of word s>>6).
+      val accP = st.acc(parity)
       val other = st.acc(1 - parity)
       var i = 0
-      while (i < st.nBytes) { other(i) = ((other(i) | mNew(i)) & 0xFF).toByte; i += 1 }
+      while (i < st.nBytes) {
+        val b = (mvL(i >> 3) >>> ((i & 7) << 3)).toByte
+        accP(i) = b
+        other(i) = ((other(i) | b) & 0xFF).toByte
+        i += 1
+      }
       st.seedAlive(parity) = false
       Timers.apply.addAndGet(System.nanoTime() - tT2)
       (total.toLong, dq)
