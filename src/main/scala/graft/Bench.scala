@@ -285,6 +285,10 @@ object Bench {
       // was ~40 ms/half-sweep of driver-serial time at 4x8, csr_timers)
       "--conf", "spark.serializer=org.apache.spark.serializer.KryoSerializer",
       "--conf", "spark.kryo.unsafe=true",
+      // keep the per-task move-list results on the direct path (default
+      // 1 MiB detours them through the BlockManager — one extra fetch
+      // round-trip per task per half-sweep at near-singleton move counts)
+      "--conf", "spark.task.maxDirectResultSize=16m",
       jar.toString)
     pb.directory(new java.io.File(System.getProperty("java.io.tmpdir")))
     pb.environment().put("SPARK_GRAFT_SCALE_OUT", out.toString)

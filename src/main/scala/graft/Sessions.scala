@@ -32,6 +32,15 @@ object Sessions {
       // a near-memcpy. spark.kryo.unsafe keeps it on the unsafe fast path.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.kryo.unsafe", "true")
+      // The sweep kernels collect per-task move lists that straddle the
+      // 1 MiB maxDirectResultSize default near the start of a pass
+      // (~16 B/move); an over-limit result is detoured through the
+      // BlockManager — an extra driver->executor fetch round-trip PER TASK
+      // per half-sweep. 16 MiB keeps the collect direct at the gated
+      // worst case (4M verts / 8 tasks x 16 B = 8 MiB) without the
+      // driver-memory exposure an unbounded direct path would mean on a
+      // 1000-executor cluster.
+      .config("spark.task.maxDirectResultSize", (16L << 20).toString)
     // The Leiden sweep broadcasts O(V) membership+totals every half-sweep;
     // lz4-ing ~24 MB of near-incompressible doubles is a pure serial driver
     // cost that only pays off on a real network. Disable it ONLY when the

@@ -144,16 +144,29 @@ object CsrSweep {
     // ACROSS tasks, so divide by parallelism for wall attribution
     val kernelTask = new java.util.concurrent.atomic.AtomicLong
     val deriveTask = new java.util.concurrent.atomic.AtomicLong
+    // the same two sums gathered through Spark accumulators, so they
+    // survive the executor-JVM boundary (local-cluster/spark-submit —
+    // where the 4x8 job-vs-kernel gap actually needs attributing); points
+    // at the most recently created CsrState's accumulators
+    @volatile var taskAccs
+        : (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = null
     def reset(): Unit = {
       bcast.set(0); job.set(0); apply.set(0); destroy.set(0); sweeps.set(0)
       kernelTask.set(0); deriveTask.set(0)
     }
-    def json: String =
+    def json: String = {
+      val (ek, ed) = {
+        val a = taskAccs
+        if (a == null) (0L, 0L) else (a._1.value.longValue, a._2.value.longValue)
+      }
       s"""{"half_sweeps":${sweeps.get},"bcast_secs":${"%.3f".format(bcast.get / 1e9)},""" +
       s""""job_secs":${"%.3f".format(job.get / 1e9)},"apply_secs":${"%.3f".format(apply.get / 1e9)},""" +
       s""""destroy_secs":${"%.3f".format(destroy.get / 1e9)},""" +
       s""""kernel_task_sum_secs":${"%.3f".format(kernelTask.get / 1e9)},""" +
-      s""""derive_task_sum_secs":${"%.3f".format(deriveTask.get / 1e9)}}"""
+      s""""derive_task_sum_secs":${"%.3f".format(deriveTask.get / 1e9)},""" +
+      s""""exec_kernel_sum_secs":${"%.3f".format(ek / 1e9)},""" +
+      s""""exec_derive_sum_secs":${"%.3f".format(ed / 1e9)}}"""
+    }
   }
 
   /** One partition's edges, packed: `srcs` ascending distinct, CSR
@@ -594,6 +607,12 @@ object CsrSweep {
     val seedAlive: Array[Boolean] = Array(true, true)
     private[CsrSweep] val bcVtot: Broadcast[Array[Double]] =
       csr.sparkContext.broadcast(vtot)
+    // executor-task nanos (kernel scan / mirror-resolve+replay), summed
+    // across all tasks of every half-sweep on this state; accumulators so
+    // the values cross the executor-JVM boundary (Timers.taskAccs)
+    private[CsrSweep] val accKernelNs = csr.sparkContext.longAccumulator("graft.csr.kernelNs")
+    private[CsrSweep] val accDeriveNs = csr.sparkContext.longAccumulator("graft.csr.deriveNs")
+    Timers.taskAccs = (accKernelNs, accDeriveNs)
     /** All weight mass integral => incremental totals are exact. */
     val integral: Boolean = {
       var i = 0; var ok = true
@@ -854,6 +873,8 @@ object CsrSweep {
     val par = parity
     val refine = refineSingletons
     val slots = sketchSlots
+    val accK = st.accKernelNs
+    val accD = st.accDeriveNs
     try {
       val out = st.csr.map { blk =>
         val tk0 = System.nanoTime()
@@ -874,6 +895,7 @@ object CsrSweep {
           }
         val tk1 = System.nanoTime()
         Timers.deriveTask.addAndGet(tk1 - tk0)
+        accD.add(tk1 - tk0)
         val bnd = bcBound.map(_.value).orNull
         // per-src scratch: open-address cdst -> wuc map, cleared via a
         // touched list; stays L1-sized for all but hub vertices
@@ -1105,7 +1127,9 @@ object CsrSweep {
           }
           k += 1
         }
-        Timers.kernelTask.addAndGet(System.nanoTime() - tk1)
+        val tkEnd = System.nanoTime()
+        Timers.kernelTask.addAndGet(tkEnd - tk1)
+        accK.add(tkEnd - tk1)
         (java.util.Arrays.copyOf(mvPacked, nMv), java.util.Arrays.copyOf(mvDq, nMv))
       }.collect()
       val tT2 = System.nanoTime()
