@@ -33,22 +33,51 @@ object PageRank {
     *              dangling/delta definitions as `sequential`); the
     *              distributed plan stays the 100-TB path. 0 disables (the
     *              distributed-machinery test pins 0).
+    * @param denseKernel gate for the shared-array local-master tier below
+    *              (DenseKernel.pagerank): graphs whose ids fit a dense
+    *              [0, CtBroadcastMax) array on a local[k] master iterate as
+    *              ONE edge-gather job per iteration over dst-partitioned
+    *              packed blocks instead of the Catalyst join+agg+checkpoint
+    *              round (3+ jobs, two O(V) exchanges each). Same formula,
+    *              same dangling/delta definitions, deterministic summation
+    *              order (AlgoSpec pins all tiers allclose 1e-6 to the
+    *              sequential oracle); non-local masters and sparse/huge id
+    *              spaces keep the Catalyst plan — the 100-TB path is
+    *              untouched. false pins the distributed machinery (tests).
     * @return (id, rank), sum(rank) == 1 +- fp error
     */
   def run(edges: DataFrame, alpha: Double = 0.85, tol: Double = 1e-6,
-          maxIters: Int = 100, localEdgeThreshold: Long = 2000000): DataFrame = {
-    if (localEdgeThreshold > 0 && edges.count() <= localEdgeThreshold) {
-      val spark = edges.sparkSession
-      val arr = edges.select(col("src").cast("long"), col("dst").cast("long"),
-          col("w").cast("double"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      val ranks = localSolve(arr, alpha, tol, maxIters)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false)))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          ranks.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 4), schema)
+          maxIters: Int = 100, localEdgeThreshold: Long = 2000000,
+          denseKernel: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val isLocalMaster = spark.sparkContext.master.startsWith("local")
+    if (localEdgeThreshold > 0) {
+      // on a local master, cache through the gate count so the collect below
+      // does not re-derive the input plan (the bench feeds the bipartite
+      // distinct+symmetrize straight in); non-local masters skip the cache
+      // (a >threshold cluster graph would spill storage for nothing)
+      val gated = if (isLocalMaster) edges.cache() else edges
+      val cnt = gated.count()
+      if (cnt <= localEdgeThreshold) {
+        val arr = gated.select(col("src").cast("long"), col("dst").cast("long"),
+            col("w").cast("double"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        if (isLocalMaster) gated.unpersist(blocking = false)
+        val ranks = localSolve(arr, alpha, tol, maxIters)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ranks.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 4), schema)
+      }
+      if (isLocalMaster) gated.unpersist(blocking = false)
+    }
+    if (denseKernel && isLocalMaster) {
+      denseSolve(edges, alpha, tol, maxIters) match {
+        case Some(df) => return df
+        case None => // id space not dense-gated: fall through to Catalyst
+      }
     }
     val e = edges.select("src", "dst", "w").repartition(col("src")).cache()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
@@ -92,6 +121,51 @@ object PageRank {
     }
     e.unpersist()
     state.select("id", "rank")
+  }
+
+  /** Dense local-master tier behind `denseKernel`: one bounded min/max agg
+    * decides the gate, then the graph is packed by dst once
+    * (DenseKernel.packByDst) and iterated via DenseKernel.pagerank — one
+    * edge-gather job per iteration, O(n) driver update between jobs.
+    * Returns None when the id space fails the dense gate (negative ids,
+    * maxId >= CtBroadcastMax, or an empty graph) — the caller falls back to
+    * the Catalyst plan unchanged.
+    */
+  private def denseSolve(edges: DataFrame, alpha: Double, tol: Double,
+                         maxIters: Int): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w")).cache()
+    try {
+      val b = e.agg(min("src"), max("src"), min("dst"), max("dst")).head
+      if (b.isNullAt(0)) return None // empty: Catalyst yields the empty result
+      val minId = math.min(b.getLong(0), b.getLong(2))
+      val maxId = math.max(b.getLong(1), b.getLong(3))
+      if (minId < 0 || maxId + 1 > graft.leiden.LocalMove.CtBroadcastMax) return None
+      val n = (maxId + 1).toInt
+      // present masks id-space holes; outW is the same per-src weight sum
+      // the Catalyst tier aggregates (dangling vertices keep outW 0)
+      val present = new Array[Boolean](n)
+      val outW = new Array[Double](n)
+      e.groupBy("src").agg(sum("w").as("ow")).collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        present(i) = true
+        outW(i) = r.getDouble(1)
+      }
+      e.select("dst").distinct().collect()
+        .foreach(r => present(r.getLong(0).toInt) = true)
+      val parts = math.max(1, spark.sparkContext.defaultParallelism)
+      val packed = DenseKernel.packByDst(e, parts).cache()
+      packed.count() // materialize: iterations stream the packed blocks only
+      val ranks = DenseKernel.pagerank(packed, n, present, outW, alpha, tol, maxIters)
+      packed.unpersist(blocking = false)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = (0 until n).iterator.filter(present(_))
+        .map(v => org.apache.spark.sql.Row(v.toLong, ranks(v))).toSeq
+      Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema))
+    } finally e.unpersist(blocking = false)
   }
 
   /** Indexed driver-local power iteration — the small-graph tail behind

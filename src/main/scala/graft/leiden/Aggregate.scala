@@ -64,6 +64,44 @@ object Aggregate {
         lit(0.0).as("w")).distinct())
   }
 
+  /** Dense-tier twin of [[coarsen]]: when the pass membership lives in a
+    * driver array (CsrSweep/ArraySweep states), project src/dst through a
+    * broadcast array lookup instead of two membership joins — the result
+    * (comm(src), comm(dst), sum w) is identical (the joins were total on
+    * the pass's vertices), and the plan is scan → project → one hash
+    * aggregation: zero join exchanges, zero broadcast-relation builds.
+    * Returns the result LOCALLY CHECKPOINTED (the lookup's broadcast is
+    * destroyed before returning, so the lazy plan must not outlive it).
+    */
+  def coarsenArray(edges: DataFrame, comm: Array[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    val bcRef = new graft.catalyst.BcLongs(spark.sparkContext.broadcast(comm))
+    val out = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      edges.select(
+        org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("src")).as("src"),
+        org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("dst")).as("dst"),
+        col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w")))
+    bcRef.bc.destroy()
+    out
+  }
+
+  /** Dense-tier twin of [[compose]]: the pass membership is a driver array
+    * indexed by current-pass vertex id, so the leaf join becomes a
+    * broadcast array lookup on `comm` — same rows (the join was total on
+    * the leaf's comm values), no join exchange. Returns the result LOCALLY
+    * CHECKPOINTED (broadcast destroyed before returning).
+    */
+  def composeArray(leaf: DataFrame, comm: Array[Long]): DataFrame = {
+    val spark = leaf.sparkSession
+    val bcRef = new graft.catalyst.BcLongs(spark.sparkContext.broadcast(comm))
+    val out = org.apache.spark.sql.graft.PlanUtils.checkpointTruncated(
+      leaf.select(col("id"),
+        org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("comm")).as("comm")))
+    bcRef.bc.destroy()
+    out
+  }
+
   /** Compose leaf membership with this pass's membership (J2,
     * `/root/reference/inc/leiden.hxx:565-570`): leaf vertices pointing at a
     * pass-level vertex id adopt that vertex's new community.

@@ -146,18 +146,41 @@ object CsrSweep {
     val deriveTask = new java.util.concurrent.atomic.AtomicLong
     // the same two sums gathered through Spark accumulators, so they
     // survive the executor-JVM boundary (local-cluster/spark-submit —
-    // where the 4x8 job-vs-kernel gap actually needs attributing); points
-    // at the most recently created CsrState's accumulators
+    // where the 4x8 job-vs-kernel gap actually needs attributing).
+    // SCOPE (round-5 ADVICE): last-writer-wins across live CsrStates —
+    // exec_* covers only the MOST RECENTLY CONSTRUCTED state, while
+    // kernel_task_sum covers every state; with two states alive (e.g.
+    // g_leiden exact + lowmem, or per-level states) the two channels
+    // measure different scopes. Diag runs use a single state.
+    // Accumulator adds inside the kernel map are AT-LEAST-ONCE: retried or
+    // speculative tasks double-count, so anatomy conclusions from exec_*
+    // gate on retries==0 runs (the bench line publishes every attempt).
     @volatile var taskAccs
         : (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = null
+    // exec_* baseline captured at reset() so json reports reset-relative
+    // deltas like every other field (round-5 ADVICE: they were lifetime-of-
+    // state sums). Keyed to the kernel accumulator identity: a state
+    // constructed AFTER the reset swaps in fresh zero accumulators, and the
+    // stale base must not be subtracted from them.
+    @volatile private var taskAccBase
+        : (org.apache.spark.util.LongAccumulator, Long, Long) = null
     def reset(): Unit = {
       bcast.set(0); job.set(0); apply.set(0); destroy.set(0); sweeps.set(0)
       kernelTask.set(0); deriveTask.set(0)
+      val a = taskAccs
+      taskAccBase =
+        if (a == null) null
+        else (a._1, a._1.value.longValue, a._2.value.longValue)
     }
     def json: String = {
       val (ek, ed) = {
         val a = taskAccs
-        if (a == null) (0L, 0L) else (a._1.value.longValue, a._2.value.longValue)
+        if (a == null) (0L, 0L)
+        else {
+          val b = taskAccBase
+          val (bk, bd) = if (b != null && (b._1 eq a._1)) (b._2, b._3) else (0L, 0L)
+          (a._1.value.longValue - bk, a._2.value.longValue - bd)
+        }
       }
       s"""{"half_sweeps":${sweeps.get},"bcast_secs":${"%.3f".format(bcast.get / 1e9)},""" +
       s""""job_secs":${"%.3f".format(job.get / 1e9)},"apply_secs":${"%.3f".format(apply.get / 1e9)},""" +

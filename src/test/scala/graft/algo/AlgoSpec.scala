@@ -30,11 +30,15 @@ class AlgoSpec extends SparkSpec {
     // threshold — this graph is far below it) AND the distributed plan
     // (threshold 0 forces it), each allclose 1e-6 to the sequential oracle.
     val want = PageRank.sequential(es, tol = 1e-9)
-    for (thresh <- Seq(2000000L, 0L)) {
-      val got = PageRank.run(edges, tol = 1e-9, localEdgeThreshold = thresh)
+    // all three tiers: driver-local tail (default threshold), dense
+    // shared-array kernel (threshold 0, local master, dense ids), and the
+    // Catalyst distributed plan (threshold 0, denseKernel=false pins it)
+    for ((thresh, dense) <- Seq((2000000L, true), (0L, true), (0L, false))) {
+      val got = PageRank.run(edges, tol = 1e-9, localEdgeThreshold = thresh,
+          denseKernel = dense)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet === want.keySet)
-      got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"thresh=$thresh vertex $k: $v vs ${want(k)}") }
+      got.foreach { case (k, v) => assert(approx(v, want(k), 1e-6), s"thresh=$thresh dense=$dense vertex $k: $v vs ${want(k)}") }
       assert(approx(got.values.sum, 1.0, 1e-9))
     }
   }
@@ -51,10 +55,11 @@ class AlgoSpec extends SparkSpec {
     def nano(m: Map[Long, Double]) =
       m.view.mapValues(v => math.floor(v * 1e9 + 0.5).toLong).toMap
     val want = nano(PageRank.sequential(es, tol = 0.0, maxIters = 5))
-    for (thresh <- Seq(2000000L, 0L)) {
-      val got = nano(PageRank.run(edges, tol = 0.0, maxIters = 5, localEdgeThreshold = thresh)
+    for ((thresh, dense) <- Seq((2000000L, true), (0L, true), (0L, false))) {
+      val got = nano(PageRank.run(edges, tol = 0.0, maxIters = 5,
+          localEdgeThreshold = thresh, denseKernel = dense)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
-      assert(got === want, s"thresh=$thresh")
+      assert(got === want, s"thresh=$thresh dense=$dense")
     }
   }
 
@@ -167,5 +172,27 @@ class AlgoSpec extends SparkSpec {
     for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
       if (has(a, b) && has(b, c) && has(a, c)) brute += 1
     assert(Triangles.globalCount(edges) === brute)
+  }
+
+  test("triangles: kernel tier == Catalyst join plan, incl. asymmetric input and gate fallback") {
+    val rnd = new Random(11)
+    // symmetric seeded graph
+    val symPairs = for (a <- 0 until 40; b <- a + 1 until 40 if rnd.nextDouble() < 0.2)
+      yield (a.toLong, b.toLong, 1.0)
+    val sym = EdgeTable.undirected(spark, symPairs)
+    assert(Triangles.kernelCount(sym) === Some(Triangles.triangles(sym).count()))
+    // ASYMMETRIC directed input (only some reverse edges present): the
+    // kernel must reproduce the join plan's orientation semantics exactly
+    val asymm = (for (a <- 0 until 30; b <- 0 until 30
+                      if a != b && rnd.nextDouble() < 0.25)
+      yield (a.toLong, b.toLong, 1.0))
+    val asymmDf = EdgeTable.of(spark, asymm)
+    assert(Triangles.kernelCount(asymmDf) === Some(Triangles.triangles(asymmDf).count()))
+    // huge-id graph fails the dense gate: kernelCount declines, globalCount
+    // falls back to the join plan and still counts correctly
+    val shifted = EdgeTable.undirected(spark,
+      clique(0L to 3L).map { case (a, b, w) => (a + 5000000000L, b + 5000000000L, w) })
+    assert(Triangles.kernelCount(shifted) === None)
+    assert(Triangles.globalCount(shifted) === 4L)
   }
 }
