@@ -28,11 +28,24 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
   private def ev(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 
-  /** Bipartite supplier->part graph; +100000 keeps key spaces disjoint. */
-  private def bipartite(s: SparkSession, dir: String): DataFrame =
-    EdgeTable.symmetrize(
-      li(s, dir).select(col("l_suppkey").as("src"),
-        (col("l_partkey") + 100000L).as("dst"), lit(1.0).as("w")).distinct())
+  /** Bipartite supplier->part graph; +100000 keeps key spaces disjoint.
+    *
+    * Formulated as union-of-reverse + one distinct — row-identical to the
+    * previous symmetrize(distinct(pairs)) shape for ANY input because every
+    * weight is the constant 1.0: symmetrize keeps existing rows and adds
+    * missing reverses at the same weight, which for a constant weight is
+    * exactly distinct(E ∪ reverse(E)). This is also precisely the oracle
+    * SQL's own `e AS (SELECT src,dst FROM e0 UNION SELECT dst,src FROM e0)`
+    * formulation. Plan: ONE distinct exchange over the doubled pair set vs
+    * the old distinct exchange + symmetrize anti-join (two more exchanges) —
+    * shared by every bipartite query (g_degree, g_pagerank*, g_bfs, ...).
+    */
+  private def bipartite(s: SparkSession, dir: String): DataFrame = {
+    val p = li(s, dir).select(col("l_suppkey").as("src"),
+      (col("l_partkey") + 100000L).as("dst"))
+    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().select(col("src"), col("dst"), lit(1.0).as("w"))
+  }
 
   /** Part co-purchase graph: parts sharing an order; w = co-order count. */
   private def copurchase(s: SparkSession, dir: String): DataFrame = {

@@ -137,10 +137,12 @@ object PageRank {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("double").as("w")).cache()
     try {
-      val b = e.agg(min("src"), max("src"), min("dst"), max("dst")).head
+      val b = e.agg(min("src"), max("src"), min("dst"), max("dst"),
+        count(lit(1))).head
       if (b.isNullAt(0)) return None // empty: Catalyst yields the empty result
       val minId = math.min(b.getLong(0), b.getLong(2))
       val maxId = math.max(b.getLong(1), b.getLong(3))
+      val edgeCount = b.getLong(4)
       if (minId < 0 || maxId + 1 > graft.leiden.LocalMove.CtBroadcastMax) return None
       val n = (maxId + 1).toInt
       // present masks id-space holes; outW is the same per-src weight sum
@@ -154,7 +156,12 @@ object PageRank {
       }
       e.select("dst").distinct().collect()
         .foreach(r => present(r.getLong(0).toInt) = true)
-      val parts = math.max(1, spark.sparkContext.defaultParallelism)
+      // partition count sized by DATA (~128k edges/partition, capped at the
+      // core count): the gather job runs once per ITERATION, so idle tasks
+      // are pure scheduling overhead — at sf0.1 (1.2M edges, ~90
+      // iterations) 32 near-empty tasks/job cost more than the edge scan
+      val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (edgeCount + (1 << 17) - 1) / (1 << 17))).toInt
       val packed = DenseKernel.packByDst(e, parts).cache()
       packed.count() // materialize: iterations stream the packed blocks only
       val ranks = DenseKernel.pagerank(packed, n, present, outW, alpha, tol, maxIters)

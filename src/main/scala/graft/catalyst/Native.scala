@@ -88,6 +88,48 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Distinct word k-shingles of single-space-separated text, replicating
+    * TextOps' Column formulation bit-for-bit (NativeSpec pins it): tokens =
+    * split(text, " ") with limit -1 (empty tokens kept, incl. leading/
+    * trailing — byte 0x20 split is UTF-8-safe), a shingle is k consecutive
+    * tokens joined by " ", distinct keeps FIRST-occurrence order
+    * (array_distinct semantics), fewer than k tokens yields the empty
+    * array. Because the split separator and the join separator are the
+    * same single space, shingle i is exactly the text's bytes from the
+    * start of token i to the end of token i+k-1 — each shingle is a
+    * zero-copy substring, and the whole row costs one byte scan.
+    *
+    * The HOF formulation this replaces was CodegenFallback AND re-evaluated
+    * the split subtree at every element_at reference inside the transform
+    * lambda (~3k interpreted splits per ~50-token doc); measured 3.8 s for
+    * 5000 sf0.1 docs vs ~0.1 s here.
+    */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == 0x20) cnt += 1; i += 1 }
+    if (cnt < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // starts(j) = byte offset of token j; sentinel starts(cnt) = n + 1 makes
+    // "end of token j" uniformly starts(j + 1) - 1
+    val starts = new Array[Int](cnt + 1)
+    var t = 1
+    i = 0
+    while (i < n) { if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(cnt) = n + 1
+    val out = new java.util.ArrayList[AnyRef](cnt - k + 1)
+    val seen = new java.util.HashSet[UTF8String](2 * (cnt - k + 1))
+    var s = 0
+    while (s <= cnt - k) {
+      val from = starts(s)
+      val sh = UTF8String.fromBytes(bytes, from, starts(s + k) - 1 - from)
+      if (seen.add(sh)) out.add(sh)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Iterated xxhash64 chain: h_0 = input, h_{t+1} = xxh64(h_t, seed 42).
     * Purely sequential ALU work over one register — ~zero memory traffic
     * per unit compute, so it is the CORE-bound end of the scaling-witness
@@ -158,6 +200,21 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.minHashSig($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_shingles expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }
 

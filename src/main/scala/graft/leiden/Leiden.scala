@@ -69,7 +69,7 @@ object Leiden {
     // order; detect's float tolerance covers the rest — LeidenSpec).
     val inputEdges = edges0.repartition(col("src")).cache()
     var edges = inputEdges
-    val twoM = EdgeTable.totalWeight(edges)
+    val twoM = timed("input") { EdgeTable.totalWeight(edges) }
     val m = twoM / 2
     val verts0 = EdgeTable.vertices(edges)
     if (m <= 0) {
@@ -89,10 +89,15 @@ object Leiden {
             LocalFirstPass.seed(edges, m, opts.resolution, opts.localFirstPassIters))
         })
       else prevMembership
-    var leaf = PlanUtils.checkpointTruncated(verts0.select(col("id"), col("id").as("comm")))
+    var leaf = timed("input") {
+      PlanUtils.checkpointTruncated(verts0.select(col("id"), col("id").as("comm")))
+    }
     // leaf is the checkpointed (id, id) projection of verts0 — counting it
     // counts the same rows without re-running the distinct-union
     var gn = leaf.count()
+    // original leaf-vertex count: gates the final modularity's membership
+    // broadcast (leaf always has exactly this many rows)
+    val leafCount = gn
     var tolerance = opts.tolerance
     var pass = 0
     var totalIters = 0
@@ -151,7 +156,9 @@ object Leiden {
           spark.sparkContext.parallelize(
             local.leaf.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }, 4), schema)
         val prevLeaf = leaf
-        leaf = PlanUtils.checkpointTruncated(Aggregate.compose(leaf, lvl))
+        leaf = timed("compose") {
+          PlanUtils.checkpointTruncated(Aggregate.compose(leaf, lvl))
+        }
         PlanUtils.release(prevLeaf)
         done = true
       } else {
@@ -334,9 +341,11 @@ object Leiden {
       PlanUtils.release(vtot)
       if (state0 ne vtot) PlanUtils.release(state0)
       val prevLeaf = leaf
-      leaf = denseComm match {
-        case Some(arr) => Aggregate.composeArray(leaf, arr) // checkpointed inside
-        case None => PlanUtils.checkpointTruncated(Aggregate.compose(leaf, refMembOpt.get))
+      leaf = timed("compose") {
+        denseComm match {
+          case Some(arr) => Aggregate.composeArray(leaf, arr) // checkpointed inside
+          case None => PlanUtils.checkpointTruncated(Aggregate.compose(leaf, refMembOpt.get))
+        }
       }
       PlanUtils.release(prevLeaf)
       pass += 1
@@ -428,11 +437,13 @@ object Leiden {
       } // end distributed pass
     }
 
-    val communities = leaf.select("comm").distinct().count()
+    val communities = timed("finalcount") { leaf.select("comm").distinct().count() }
     val q = timed("modularity") {
       // same rows as edges0 (a repartition), read from the cache built at
-      // detect() start instead of re-deriving the caller's input plan
-      Modularity.modularity(inputEdges, leaf, m, opts.resolution)
+      // detect() start instead of re-deriving the caller's input plan;
+      // broadcast the membership joins whenever V fits the broadcast gate
+      Modularity.modularity(inputEdges, leaf, m, opts.resolution,
+        broadcastMembership = leafCount <= LocalMove.CtBroadcastMax)
     }
     if (edges ne inputEdges) edges.unpersist()
     inputEdges.unpersist()

@@ -23,9 +23,16 @@ object Modularity {
     * @param edges      symmetrized directed edges (src,dst,w)
     * @param membership (id, comm)
     */
-  def modularity(edges: DataFrame, membership: DataFrame, m: Double, resolution: Double = 1.0): Double = {
-    val ms = membership.select(col("id").as("src"), col("comm").as("csrc"))
-    val md = membership.select(col("id").as("dst"), col("comm").as("cdst"))
+  def modularity(edges: DataFrame, membership: DataFrame, m: Double, resolution: Double = 1.0,
+                 broadcastMembership: Boolean = false): Double = {
+    // broadcastMembership: checkpointed memberships carry no size statistics
+    // (localCheckpoint => defaultSizeInBytes), so the planner never picks a
+    // broadcast join on its own; callers that KNOW V is broadcast-sized
+    // (Leiden.detect gates on CtBroadcastMax) pass true and both membership
+    // joins skip the O(E) exchanges
+    val hint = (df: DataFrame) => if (broadcastMembership) broadcast(df) else df
+    val ms = hint(membership.select(col("id").as("src"), col("comm").as("csrc")))
+    val md = hint(membership.select(col("id").as("dst"), col("comm").as("cdst")))
     val terms = edges
       .join(ms, "src")
       .join(md, "dst")

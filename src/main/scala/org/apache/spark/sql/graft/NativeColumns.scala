@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import graft.catalyst.{ArrayCosineExpr, HashChainExpr, MinHashSigExpr, SimHash64Expr}
+import graft.catalyst.{ArrayCosineExpr, HashChainExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -26,6 +26,8 @@ object NativeColumns {
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(text)))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles), numHashes))
+  def shinglesArr(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), k))
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hashChain(seed: Column, iters: Int): Column =

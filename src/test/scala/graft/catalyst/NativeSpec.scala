@@ -33,6 +33,42 @@ class NativeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"text=${texts(r.getLong(0).toInt)}"))
   }
 
+  test("native shingles equals the Column HOF formulation bit-for-bit (k=1,2,3; null text)") {
+    for (k <- 1 to 3) {
+      val rows = df.select(col("id"),
+        TextOps.shinglesReference(col("text"), k).as("hof"),
+        TextOps.shingles(col("text"), k).as("native")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"k=$k text='${texts(r.getLong(0).toInt)}'")
+      }
+    }
+    // null text: the reference `when` yields the empty array; the native
+    // wrapper's coalesce must match
+    val nullDf = df.select(col("id"),
+      when(col("id") < 0, col("text")).as("text")) // all-null text column
+    val nr = nullDf.select(TextOps.shinglesReference(col("text"), 3).as("hof"),
+      TextOps.shingles(col("text"), 3).as("native")).collect()
+    nr.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("property: native shingles equals HOF on 200 seeded random texts") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "统一", "x", "")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val d = docs.toDF("id", "text")
+    for (k <- Seq(2, 3)) {
+      d.select(col("id"), TextOps.shinglesReference(col("text"), k).as("hof"),
+          TextOps.shingles(col("text"), k).as("native")).collect()
+        .foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}"))
+    }
+  }
+
   test("native minhash signature equals the Column HOF formulation bit-for-bit") {
     val sh = TextOps.shingles(col("text"), 2)
     val rows = df.select(col("id"),
