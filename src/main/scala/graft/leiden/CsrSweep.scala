@@ -429,7 +429,7 @@ object CsrSweep {
     * CsrState id; rebases re-materialize in place (gen check), and ids
     * below the driver's live-state watermark are evicted on every resolve.
     */
-  private final class ExecMirror {
+  private[leiden] final class ExecMirror {
     var gen: Long = -1L
     var epoch: Int = -1
     var commI: Array[Int] = null
@@ -442,6 +442,25 @@ object CsrSweep {
 
   /** Test hook: live mirror entries on this JVM's executor side. */
   private[graft] def mirrorCount: Int = mirrors.size
+
+  /** Test hook: (gen, epoch, commI, ctot, csize) of one mirror — the
+    * lifecycle spec asserts replay results and rebase/eviction behavior
+    * without reaching into the private class.
+    */
+  private[leiden] def mirrorProbe(sid: Long): Option[(Long, Int, Array[Int], Array[Double], Array[Int])] =
+    Option(mirrors.get(sid)).map(m =>
+      (m.gen, m.epoch, m.commI.clone(), m.ctot.clone(), m.csize.clone()))
+
+  /** Test hook: the eviction sweep alone (no entry creation) — specs drop
+    * their synthetic mirrors so suite-order-sensitive count assertions in
+    * OTHER specs stay exact. Always safe: an evicted live mirror simply
+    * re-materializes from its base chain on the next resolve (the
+    * fresh-executor path).
+    */
+  private[leiden] def mirrorEvictBelow(watermark: Long): Unit = {
+    val it = mirrors.keySet().iterator()
+    while (it.hasNext) if (it.next() < watermark) it.remove()
+  }
 
   /** local[k] fast path: tasks run in the driver's JVM, so the per-sweep
     * (commI, ctot, sgl) payload needs no broadcast at all — TorrentBroadcast
@@ -501,7 +520,7 @@ object CsrSweep {
     new java.util.concurrent.ForkJoinPool(math.max(1, cores))
   }
 
-  private def resolveMirror(sid: Long, gen: Long, watermark: Long,
+  private[leiden] def resolveMirror(sid: Long, gen: Long, watermark: Long,
                             base: Broadcast[CsrBase],
                             deltas: IndexedSeq[Broadcast[Array[Long]]],
                             vt: Array[Double]): ExecMirror = {

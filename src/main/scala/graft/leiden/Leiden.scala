@@ -170,28 +170,11 @@ object Leiden {
       val minMoves =
         if (opts.minMovedFraction > 0) (opts.minMovedFraction * gn).toLong else 0L
 
-      val vtot = timed("init") {
-        PlanUtils.checkpointTruncated(EdgeTable.vertexWeights(edges))
-      }
-      // init membership (fi) + affected marks (fm): warm start only applies
-      // to the first pass of a non-resumed run
-      val state0 = timed("mark") {
-        if (pass == firstPass && !resumed && (seedMembership.isDefined || affected.isDefined)) {
-          val withComm = seedMembership match {
-            case Some(pm) => vtot
-              .join(pm.select(col("id"), col("comm").as("__pc")), Seq("id"), "left")
-              .select(col("id"), coalesce(col("__pc"), col("id")).as("comm"), col("vtot"))
-            case None => vtot.select(col("id"), col("id").as("comm"), col("vtot"))
-          }
-          val withAff = affected match {
-            case Some(ids) => withComm
-              .join(ids.select(col(ids.columns.head).as("id"), lit(true).as("__aff")), Seq("id"), "left")
-              .select(col("id"), col("comm"), col("vtot"), coalesce(col("__aff"), lit(false)).as("aff"))
-            case None => withComm.withColumn("aff", lit(true))
-          }
-          PlanUtils.checkpointTruncated(withAff)
-        } else singletonState(vtot)
-      }
+      // lazy per-vertex weights: the DENSE tiers consume them as ONE
+      // collected row set (vtotRows below) and never pay the checkpoint
+      // job or the state0 joins — only the DataFrame tier (huge or sparse
+      // passes) materializes them, after the gate decides
+      val vtotLazy = EdgeTable.vertexWeights(edges)
 
       // 1. local moving. C ≤ V = gn, so whenever the pass's vertex count
       // fits the cap (LocalMove.CtBroadcastMax) BOTH the community-totals
@@ -203,14 +186,27 @@ object Leiden {
       // and gather via the dstGather plan (LocalMove.sweep scaladoc).
       val bcCt = gn <= LocalMove.CtBroadcastMax
       // Frontier-bitmap tier gate (FrontierBits scaladoc): dense-enough id
-      // space, checked against the pass's actual id bounds (one tiny job
-      // over the checkpointed vtot). Post-aggregation passes are
-      // renumbered dense, so this holds for every pass but possibly the
-      // raw pass 0.
+      // space, checked against the pass's actual id bounds. gn <= the 4M
+      // cap already bounds the row count, so the bounds come from ONE
+      // collect of the vtot rows — the dense tiers needed exactly this
+      // collect anyway (it was a separate min/max job before), and the
+      // rows are reused below for vt/present. Post-aggregation passes are
+      // renumbered dense, so the gate holds for every pass but possibly
+      // the raw pass 0.
+      val vtotRows: Array[org.apache.spark.sql.Row] =
+        if (bcCt) timed("init") { vtotLazy.select("id", "vtot").collect() }
+        else Array.empty
       val (minId, maxId): (Long, Long) =
-        if (bcCt) {
-          val r = vtot.agg(min(col("id")), max(col("id"))).head
-          (r.getLong(0), r.getLong(1))
+        if (bcCt && vtotRows.nonEmpty) {
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < vtotRows.length) {
+            val id = vtotRows(i).getLong(0)
+            if (id < mn) mn = id
+            if (id > mx) mx = id
+            i += 1
+          }
+          (mn, mx)
         } else (0L, Long.MaxValue)
       val fBits: Int =
         if (bcCt && minId >= 0 && maxId + 1 <= LocalMove.FrontierBitsMax)
@@ -238,29 +234,75 @@ object Leiden {
           val n = fBits
           val vt = new Array[Double](n)
           val present = new Array[Boolean](n)
-          vtot.select("id", "vtot").collect().foreach { r =>
+          vtotRows.foreach { r =>
             val id = r.getLong(0).toInt
             vt(id) = r.getDouble(1)
             present(id) = true
           }
           if (warmInit) {
-            val rows = state0.select("id", "comm", "aff").collect()
-            if (rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < n)) {
-              val comm0 = Array.tabulate(n)(_.toLong)
-              val bits0 = new Array[Byte]((n + 7) / 8)
-              rows.foreach { r =>
-                val id = r.getLong(0)
-                comm0(id.toInt) = r.getLong(1)
-                if (r.getBoolean(2))
-                  bits0((id >>> 3).toInt) =
-                    (bits0((id >>> 3).toInt) | (1 << (id & 7).toInt)).toByte
+            // driver-side twin of the DataFrame tier's state0 joins: the
+            // state rows are the vtot ids; comm = seed membership's comm
+            // when present else the id (left join + coalesce); aff = id in
+            // the affected set, defaulting to all-true without one. Same
+            // escape check as before: any effective comm outside [0, n)
+            // falls back to the DataFrame tiers (they accept any labels).
+            val seedMap = new java.util.HashMap[Long, Long]()
+            seedMembership.foreach(_.select(col("id").cast("long"), col("comm").cast("long"))
+              .collect().foreach(r => seedMap.put(r.getLong(0), r.getLong(1))))
+            val affSet = affected.map { a =>
+              val s = new java.util.HashSet[Long]()
+              a.select(col(a.columns.head).cast("long")).collect()
+                .foreach(r => s.add(r.getLong(0)))
+              s
+            }
+            var ok = true
+            val comm0 = Array.tabulate(n)(_.toLong)
+            val bits0 = new Array[Byte]((n + 7) / 8)
+            var id = 0
+            while (ok && id < n) {
+              if (present(id)) {
+                val sc = seedMap.get(id.toLong)
+                val c = if (seedMap.containsKey(id.toLong)) sc else id.toLong
+                if (c < 0 || c >= n) ok = false
+                else {
+                  comm0(id) = c
+                  val aff = affSet.forall(_.contains(id.toLong))
+                  if (aff)
+                    bits0(id >>> 3) = (bits0(id >>> 3) | (1 << (id & 7))).toByte
+                }
               }
-              Some((vt, comm0, bits0, present))
-            } else None
+              id += 1
+            }
+            if (ok) Some((vt, comm0, bits0, present)) else None
           } else
             Some((vt, Array.tabulate(n)(_.toLong),
               Array.fill[Byte]((n + 7) / 8)(-1), present))
         } else None
+
+      // DataFrame-tier state, built ONLY when the dense gate declined:
+      // checkpointed vertex weights + the (fi/fm) init-state joins
+      val vtot: DataFrame =
+        if (denseInit.isDefined) null
+        else timed("init") { PlanUtils.checkpointTruncated(vtotLazy) }
+      val state0: DataFrame =
+        if (denseInit.isDefined) null
+        else timed("mark") {
+          if (warmInit) {
+            val withComm = seedMembership match {
+              case Some(pm) => vtot
+                .join(pm.select(col("id"), col("comm").as("__pc")), Seq("id"), "left")
+                .select(col("id"), coalesce(col("__pc"), col("id")).as("comm"), col("vtot"))
+              case None => vtot.select(col("id"), col("id").as("comm"), col("vtot"))
+            }
+            val withAff = affected match {
+              case Some(ids) => withComm
+                .join(ids.select(col(ids.columns.head).as("id"), lit(true).as("__aff")), Seq("id"), "left")
+                .select(col("id"), col("comm"), col("vtot"), coalesce(col("__aff"), lit(false)).as("aff"))
+              case None => withComm.withColumn("aff", lit(true))
+            }
+            PlanUtils.checkpointTruncated(withAff)
+          } else singletonState(vtot)
+        }
 
       // dense tiers return the final membership as the DRIVER ARRAY itself
       // (denseComm): the pass tail below then composes, counts and coarsens
@@ -338,8 +380,10 @@ object Leiden {
           (None, Some(rm), lIters + rIters, lMoves, rMoves)
       }
       totalIters += math.max(iters, 1)
-      PlanUtils.release(vtot)
-      if (state0 ne vtot) PlanUtils.release(state0)
+      if (vtot != null) {
+        PlanUtils.release(vtot)
+        if (state0 ne vtot) PlanUtils.release(state0)
+      }
       val prevLeaf = leaf
       leaf = timed("compose") {
         denseComm match {
