@@ -57,6 +57,25 @@ object BenchExtra {
         graft.text.NearDup.minHashLshPairs(docs, threshold = 0.2)))
       docs.unpersist()
     }
+    if (want("copurchase_steps")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      spark.sparkContext.setJobDescription("benchextra: copurchase sub-steps")
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"))
+      timed("cp: perOrder sets")(noop(perOrder))
+      val pairs = flatten(transform(col("ps"), (x, i) =>
+        flatten(transform(
+          slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+          y => array(struct(x.as("src"), y.as("dst")))))))
+      timed("cp: + pair explode")(noop(perOrder.select(explode(pairs).as("pr"))))
+      timed("cp: full agg")(noop(perOrder.select(explode(pairs).as("pr"))
+        .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+        .agg(count(lit(1)).as("w"))))
+      timed("cp: full again (warm)")(noop(perOrder.select(explode(pairs).as("pr"))
+        .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+        .agg(count(lit(1)).as("w"))))
+    }
     if (want("ngram_steps")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.cache().count()

@@ -47,18 +47,57 @@ object SparkEntry {
       .distinct().select(col("src"), col("dst"), lit(1.0).as("w"))
   }
 
-  /** Part co-purchase graph: parts sharing an order; w = co-order count. */
-  private def copurchase(s: SparkSession, dir: String): DataFrame = {
-    val op = li(s, dir).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    op.as("a").join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+  /** Part co-purchase graph: parts sharing an order; w = co-order count.
+    *
+    * Formulated as ONE aggregation per order (collect_set ≡ the oracle's
+    * DISTINCT (o,p)) followed by in-row ordered-pair generation from the
+    * sorted part set (i < j ≡ the oracle's a.p < b.p over sorted parts) and
+    * the pair-count aggregation. Row-identical to the previous
+    * distinct+self-join+agg shape — same pairs, same counts — but the plan
+    * is 2 exchanges (per-order sets with map-side partial aggregation, then
+    * pair counts) instead of the self-join's 4, and the per-order part set
+    * is bounded (≤ 7 lineitems/order in this schema), so the in-row pair
+    * expansion is O(1) per row and skew-free at any scale. This one graph
+    * feeds g_copurchase, g_triangles(_v), g_point_lookup, both leiden
+    * queries, g_mod_terms and the stream fixtures — the self-join was paid
+    * up to twice per query (once per union branch in copurchaseSym).
+    */
+  private def copurchasePairs(s: SparkSession, dir: String, sym: Boolean): DataFrame = {
+    val perOrder = li(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ps"))
+    // ordered pairs (ps(i), ps(j)) for i < j (both orientations when sym),
+    // expanded by the native codegen'd kernel (graft.catalyst
+    // .OrderedPairsExpr — the HOF formulation was CodegenFallback; parity
+    // pinned in NativeSpec against copurchasePairsReference's expression)
+    perOrder
+      .select(explode(org.apache.spark.sql.graft.NativeColumns
+        .orderedPairs(col("ps"), sym)).as("pr"))
+      .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
 
-  private[graft] def copurchaseSym(s: SparkSession, dir: String): DataFrame = {
-    val p = copurchase(s, dir).select(col("src"), col("dst"), col("w").cast("double").as("w"))
-    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  /** The Column-HOF pair expansion, kept as the independently-derived
+    * parity oracle for OrderedPairsExpr (NativeSpec; same device as
+    * TextOps.shinglesReference).
+    */
+  private[graft] def orderedPairsReference(ps: org.apache.spark.sql.Column,
+                                           sym: Boolean): org.apache.spark.sql.Column = {
+    def pairOf(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("src"), y.as("dst"))
+    flatten(transform(ps, (x, i) =>
+      flatten(transform(
+        slice(ps, i + lit(2), size(ps) - i - lit(1)),
+        y => if (sym) array(pairOf(x, y), pairOf(y, x)) else array(pairOf(x, y))))))
   }
+
+  private def copurchase(s: SparkSession, dir: String): DataFrame =
+    copurchasePairs(s, dir, sym = false)
+
+  private[graft] def copurchaseSym(s: SparkSession, dir: String): DataFrame =
+    copurchasePairs(s, dir, sym = true)
+      .select(col("src"), col("dst"), col("w").cast("double").as("w"))
 
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -133,17 +172,22 @@ object SparkEntry {
     "g_copurchase" -> ((s, dir) => copurchase(s, dir)),
     // --- graph algorithms ---------------------------------------------
     "g_triangles" -> ((s, dir) => {
-      val und = copurchase(s, dir).select(col("src"), col("dst"), lit(1.0).as("w"))
-      val sym = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // copurchasePairs(sym=true) is the SAME row set the old
+      // copurchase+union-reverse produced (strict i<j pairs plus their
+      // reverses — no self-loops, no duplicates), in one aggregation; the
+      // simpleInput contract then lets the kernel feed skip its defensive
+      // distinct exchange.
+      val sym = copurchasePairs(s, dir, sym = true)
+        .select(col("src"), col("dst"), lit(1.0).as("w"))
       s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
-          org.apache.spark.sql.Row(Triangles.globalCount(sym))),
+          org.apache.spark.sql.Row(Triangles.globalCount(sym, simpleInput = true))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("triangles",
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
     "g_triangles_v" -> ((s, dir) => { // oracle: per-vertex triangle counts
-      val und = copurchase(s, dir).select(col("src"), col("dst"), lit(1.0).as("w"))
-      val sym = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val sym = copurchasePairs(s, dir, sym = true)
+        .select(col("src"), col("dst"), lit(1.0).as("w"))
       Triangles.perVertex(sym).select(col("id"), col("triangles"))
     }),
     "g_mod_terms" -> ((s, dir) => {

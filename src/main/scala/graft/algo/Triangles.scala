@@ -47,10 +47,16 @@ object Triangles {
     * exact integer is identical to the Catalyst plan's by construction
     * (AlgoSpec pins it); non-local masters and huge/sparse graphs keep the
     * Catalyst join plan, which is the 100-TB path.
+    *
+    * @param simpleInput caller guarantees `edges` is already a SIMPLE
+    *        symmetric pair set (no self-loops, no duplicate (src,dst)
+    *        rows) — the kernel feed then skips its defensive
+    *        filter+distinct exchange (a full O(E) shuffle). Deduping an
+    *        already-distinct set is the identity, so this is plan-only.
     */
-  def globalCount(edges: DataFrame): Long =
+  def globalCount(edges: DataFrame, simpleInput: Boolean = false): Long =
     if (edges.sparkSession.sparkContext.master.startsWith("local"))
-      kernelCount(edges).getOrElse(triangles(edges).count())
+      kernelCount(edges, simpleInput).getOrElse(triangles(edges).count())
     else triangles(edges).count()
 
   /** Edge-row cap for the kernel's driver-side edge collect (two int arrays
@@ -74,10 +80,13 @@ object Triangles {
     * negative, the id space exceeds the dense gate, or the pair count
     * exceeds KernelEdgeMax.
     */
-  private[graft] def kernelCount(edges: DataFrame): Option[Long] = {
+  private[graft] def kernelCount(edges: DataFrame,
+                                 simpleInput: Boolean = false): Option[Long] = {
     val spark = edges.sparkSession
-    val simple = edges.filter(col("src") =!= col("dst"))
-      .select(col("src").cast("long"), col("dst").cast("long")).distinct().cache()
+    val simple =
+      (if (simpleInput) edges.select(col("src").cast("long"), col("dst").cast("long"))
+       else edges.filter(col("src") =!= col("dst"))
+         .select(col("src").cast("long"), col("dst").cast("long")).distinct()).cache()
     try {
       val st = simple.agg(org.apache.spark.sql.functions.count(lit(1)),
         min("src"), max("src"), min("dst"), max("dst")).head

@@ -130,6 +130,42 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Ordered pairs (arr(i), arr(j)) for i < j from a long array, as an
+    * array of (src, dst) structs — the co-occurrence pair expansion of the
+    * copurchase graph build, one tight loop per row. With sym=true each
+    * pair also emits its reverse immediately after (the symmetrized graph
+    * in the SAME aggregation). Replaces a nested transform/flatten/slice
+    * HOF chain that was CodegenFallback and allocated a GenericArrayData
+    * per outer element per row; emission order is identical to the HOF
+    * (NativeSpec pins bit-parity), though consumers aggregate so order
+    * never matters.
+    */
+  def orderedPairs(arr: ArrayData, sym: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val nPairs = n * (n - 1) / 2 * (if (sym) 2 else 1)
+    val out = new Array[Any](nPairs)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val y = arr.getLong(j)
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x, y))
+        k += 1
+        if (sym) {
+          out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](y, x))
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Iterated xxhash64 chain: h_0 = input, h_{t+1} = xxh64(h_t, seed 42).
     * Purely sequential ALU work over one register — ~zero memory traffic
     * per unit compute, so it is the CORE-bound end of the scaling-witness
@@ -215,6 +251,23 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.shingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class OrderedPairsExpr(child: Expression, sym: Boolean) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_ordered_pairs expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.orderedPairs(input.asInstanceOf[ArrayData], sym)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Kernels.orderedPairs($c, $sym)")
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairsExpr =
     copy(child = newChild)
 }
 

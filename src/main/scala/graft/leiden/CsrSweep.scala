@@ -299,16 +299,33 @@ object CsrSweep {
   private[graft] var PackGaps: Boolean =
     !sys.env.get("SPARK_GRAFT_CSR_PACK").contains("0")
 
-  def build(edges: DataFrame, n: Int, parts: Int = 0): RDD[CsrBlock] = {
+  /** @param srcComplete caller guarantees the input's EXISTING partitioning
+    *        already holds every edge of a src in one partition (e.g. a
+    *        `repartition(P, col("src"))` cache) — the pack then reads the
+    *        cached partitions directly, skipping the range shuffle AND its
+    *        sampling pre-job (two jobs and an O(E) exchange per build).
+    *        Results are block-composition-independent by construction
+    *        (per-src adjacency is dst-sorted within its block; dq sums in
+    *        ascending-src order on the driver), so this is plan-only.
+    *        Default false: the range-balanced path remains for hub-heavy
+    *        graphs where equal-edge blocks bound the straggler tail.
+    */
+  def build(edges: DataFrame, n: Int, parts: Int = 0,
+            srcComplete: Boolean = false): RDD[CsrBlock] = {
     val pack = PackGaps // driver-side read, captured by the closure
     val p =
       if (parts > 0) parts
       else edges.sparkSession.sparkContext.defaultParallelism *
         sys.env.getOrElse("SPARK_GRAFT_CSR_PARTS_MULT", "1").toInt
-    val rows = edges.repartitionByRange(p, col("src"))
+    val projected = edges
       .select(col("src").cast("int"), col("dst").cast("int"),
         col("w").cast("double"))
-      .queryExecution.toRdd
+    val rows =
+      (if (srcComplete) projected
+       else edges.repartitionByRange(p, col("src"))
+         .select(col("src").cast("int"), col("dst").cast("int"),
+           col("w").cast("double")))
+        .queryExecution.toRdd
     rows.mapPartitions({ it =>
       var cap = 1 << 16
       var ss = new Array[Int](cap); var dd = new Array[Int](cap); var ww = new Array[Double](cap)

@@ -67,11 +67,23 @@ object Leiden {
     // to six times per detect() call — about half of g_leiden's sf0.1 wall.
     // Weight sums are unaffected (integral-weight sums are exact in any
     // order; detect's float tolerance covers the rest — LeidenSpec).
-    val inputEdges = edges0.repartition(col("src")).cache()
+    // Explicit partition count: an unpinned repartition(col) is an AQE
+    // coalescing target — a small input could collapse to 1-2 cached
+    // partitions, serializing every kernel sweep and the CSR pack. Pinning
+    // to defaultParallelism keeps one block per core (CsrSweep's measured
+    // best) and lets CsrSweep.build(srcComplete=true) pack straight from
+    // these cached partitions with no further exchange.
+    val inputEdges = edges0
+      .repartition(spark.sparkContext.defaultParallelism, col("src")).cache()
     var edges = inputEdges
     val twoM = timed("input") { EdgeTable.totalWeight(edges) }
     val m = twoM / 2
-    val verts0 = EdgeTable.vertices(edges)
+    // detect's input contract is a SYMMETRIZED edge table (every caller
+    // symmetrizes: scaladoc param, GraphStream applyOps(symmetric=true),
+    // Cli, the bench queries), so src alone already covers every vertex —
+    // half the rows into the distinct vs the generic union-of-both-ends
+    // EdgeTable.vertices. Coarsened passes stay symmetric by construction.
+    val verts0 = edges.select(col("src").as("id")).distinct()
     if (m <= 0) {
       val leaf = verts0.select(col("id"), col("id").as("comm"))
       val r = LeidenResult(leaf, 0, 0, 0.0, leaf.count(), Map("total" -> 0L))
@@ -314,7 +326,12 @@ object Leiden {
           // packed-CSR fused kernel (CsrSweep scaladoc): one primitive-
           // array pass per half-sweep, frontier folded into the same pass
           val csr = timed("csrbuild") {
-            val c = CsrSweep.build(edges, fBits).cache()
+            // pass-0 edges are the src-hash input cache: every edge of a src
+            // already lives in one partition, so the pack skips the range
+            // shuffle and its sampling pre-job (srcComplete contract in
+            // CsrSweep.build). Coarsened passes keep the range-balanced path.
+            val c = CsrSweep.build(edges, fBits,
+              srcComplete = edges eq inputEdges).cache()
             c.count() // materialize here so sweep timings are pure
             c
           }

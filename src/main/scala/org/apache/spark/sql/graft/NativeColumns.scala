@@ -32,6 +32,9 @@ object NativeColumns {
     ExpressionUtils.column(ArrayCosineExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hashChain(seed: Column, iters: Int): Column =
     ExpressionUtils.column(HashChainExpr(ExpressionUtils.expression(seed), iters))
+  /** Ordered (src, dst) pair structs i<j from a long array; sym adds reverses. */
+  def orderedPairs(arr: Column, sym: Boolean): Column =
+    ExpressionUtils.column(graft.catalyst.OrderedPairsExpr(ExpressionUtils.expression(arr), sym))
   /** Aggregate: OR long ids into a numBits-wide bitmap (BinaryType). */
   def bitsetOr(id: Column, numBits: Int): Column =
     ExpressionUtils.column(graft.catalyst.BitSetOrAgg(

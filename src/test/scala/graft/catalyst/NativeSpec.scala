@@ -104,6 +104,30 @@ class NativeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("native ordered pairs equals the Column HOF formulation bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(47)
+    // adversarial sizes: empty, singleton, pairs, long sets; sorted distinct
+    // longs exactly as sort_array(collect_set) produces them
+    val sets: Seq[Seq[Long]] = Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L)) ++
+      (0 until 50).map { _ =>
+        val n = rnd.nextInt(9)
+        Seq.fill(n + 2)(rnd.nextLong().abs % 1000).distinct.sorted.map(identity[Long])
+      }
+    val sdf = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "ps")
+    for (sym <- Seq(false, true)) {
+      val rows = sdf.select(col("id"),
+        graft.SparkEntry.orderedPairsReference(col("ps"), sym).as("hof"),
+        NativeColumns.orderedPairs(col("ps"), sym).as("native")).collect()
+      rows.foreach { r =>
+        val hof = r.getSeq[org.apache.spark.sql.Row](1)
+        val nat = r.getSeq[org.apache.spark.sql.Row](2)
+        assert(hof === nat, s"sym=$sym id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("property: native kernels equal HOF forms on 200 seeded random texts") {
     val spark2 = spark
     import spark2.implicits._
