@@ -83,6 +83,26 @@ object PlanDump {
           "no join, no aggregation exchange, no checkpoint per iteration") -> explainStr(packPlan))
     }
 
+    // ---- g_copurchase: self-join plan vs per-order pair expansion --------
+    {
+      val opq = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val before = opq.as("a")
+        .join(opq.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst")).agg(count(lit(1)).as("w"))
+      write(dir, "g_copurchase_before.txt",
+        ("g_copurchase BEFORE: distinct + self-join on orderkey + pair " +
+          "aggregation — four exchanges; the symmetrized consumers " +
+          "(g_leiden, g_triangles) paid the agg once per union branch") ->
+          explainStr(before))
+      write(dir, "g_copurchase_after.txt",
+        ("g_copurchase AFTER: one collect_set aggregation per order (map-side " +
+          "partial agg) + native codegen'd in-row pair expansion " +
+          "(graft_ordered_pairs) + pair-count aggregation — two exchanges, " +
+          "no join; row-identical output (oracle MATCH)") ->
+          explainStr(graft.SparkEntry.queries("g_copurchase")(spark, sfDir)))
+    }
+
     // ---- g_triangles: join plan vs kernel feed ---------------------------
     {
       val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -95,14 +115,29 @@ object PlanDump {
         ("g_triangles BEFORE: Triangles.triangles(sym) count plan (orientation " +
           "joins + wedge self-join + closing-edge semi-join), the Catalyst tier " +
           "still live behind the kernel gate") -> explainStr(graft.algo.Triangles.triangles(sym)))
-      val simple = sym.filter(col("src") =!= col("dst"))
-        .select(col("src").cast("long"), col("dst").cast("long")).distinct()
+      val symNew = {
+        // the current query feed: per-order pair expansion with sym=true
+        val perOrder = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(col("ps"))
+        perOrder
+          .select(explode(org.apache.spark.sql.graft.NativeColumns
+            .orderedPairs(col("ps"), true)).as("pr"))
+          .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .select(col("src"), col("dst"))
+      }
       write(dir, "g_triangles_after.txt",
-        ("g_triangles AFTER: the only SQL plan left is this distinct simple-pair " +
-          "projection (Triangles.kernelCount collects it as packed int blocks); " +
-          "orientation, CSR build and the sorted-adjacency intersections run in " +
-          "ONE stripe job (DenseKernel.wedgeCount) — the wedge self-join and " +
-          "semi-join exchanges are gone") -> explainStr(simple))
+        ("g_triangles AFTER: the only SQL plan left is this simple-pair feed " +
+          "(per-order native pair expansion, symmetric orientations in ONE " +
+          "aggregation; simpleInput skips the defensive distinct exchange — " +
+          "the pair set is distinct by construction). Triangles.kernelCount " +
+          "collects it as packed int blocks; orientation, CSR build and the " +
+          "sorted-adjacency intersections run in ONE stripe job " +
+          "(DenseKernel.wedgeCount) — the wedge self-join and semi-join " +
+          "exchanges are gone") ->
+          explainStr(symNew.select(col("src").cast("long"), col("dst").cast("long"))))
     }
 
     // ---- g_leiden: per-pass compose/coarsen and the input cache ----------

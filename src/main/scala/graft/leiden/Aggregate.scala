@@ -86,6 +86,32 @@ object Aggregate {
     out
   }
 
+  /** [[coarsenArray]] variant that materializes into a CACHE instead of a
+    * local checkpoint: the pass loop caches the coarse graph anyway (the
+    * next pass reads it repeatedly), so checkpoint-then-cache paid two
+    * materializations of the same rows. Returns the coarse edges cached
+    * AND materialized. Unlike the checkpoint variant, the cached plan
+    * still SERIALIZES the broadcast handle into every later task over the
+    * cache (the InMemoryTableScan keeps its child plan for recompute), so
+    * the broadcast is only UNPERSISTED here — executor copies drop, the
+    * handle stays valid (a recompute or late task re-fetches it from the
+    * driver), and the array is GC-eligible once detect() releases the
+    * cache at pass end.
+    */
+  def coarsenArrayCached(edges: DataFrame, comm: Array[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    val bcRef = new graft.catalyst.BcLongs(spark.sparkContext.broadcast(comm))
+    val out = edges.select(
+        org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("src")).as("src"),
+        org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("dst")).as("dst"),
+        col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .cache()
+    out.count()
+    bcRef.bc.unpersist(blocking = false)
+    out
+  }
+
   /** Dense-tier twin of [[compose]]: the pass membership is a driver array
     * indexed by current-pass vertex id, so the leaf join becomes a
     * broadcast array lookup on `comm` — same rows (the join was total on

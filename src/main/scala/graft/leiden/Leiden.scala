@@ -449,10 +449,13 @@ object Leiden {
           // community) loses connectivity that synchronous supersteps —
           // unlike the reference's asynchronous CAS dynamics — cannot
           // recover. The scan keeps the caller's width (1 = Boyer-Moore).
-          val coarse = timed("aggregate") {
+          val (coarse, coarseCached) = timed("aggregate") {
             denseComm match {
               case Some(arr) if !(slots > 0 && opts.sketchAggregation) =>
-                Aggregate.coarsenArray(edges, arr) // checkpointed inside
+                // cached+materialized in one pass (no checkpoint-then-cache
+                // double materialization); the cache assignment below skips
+                // its own .cache() for this branch
+                (Aggregate.coarsenArrayCached(edges, arr), true)
               case _ =>
                 // sketch-aggregation with a dense-tier membership: build
                 // the (id, comm) rows straight from the driver arrays
@@ -474,7 +477,7 @@ object Leiden {
                   if (slots > 0 && opts.sketchAggregation)
                     Aggregate.coarsenSketch(edges, rm, math.max(slots, 8))
                   else Aggregate.coarsen(edges, rm))
-                c
+                (c, false)
             }
           }
           opts.snapshotDir.foreach { root =>
@@ -489,7 +492,7 @@ object Leiden {
           }
           // inputEdges stays cached: the final modularity evaluation reads it
           if (edges ne inputEdges) edges.unpersist()
-          edges = coarse.cache()
+          edges = if (coarseCached) coarse else coarse.cache()
           gn = cn
           tolerance /= opts.toleranceDrop
         }
