@@ -59,11 +59,12 @@ object PageRank {
       val gated = if (isLocalMaster) edges.cache() else edges
       val cnt = gated.count()
       if (cnt <= localEdgeThreshold) {
-        val arr = gated.select(col("src").cast("long"), col("dst").cast("long"),
-            col("w").cast("double"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // packed collect: no Row/tuple per edge; same row order as a Row
+        // collect, so the gather's edge-order float accumulation and the
+        // resulting ranks are identical (EdgeTable.collectPacked scaladoc)
+        val (sA, dA, wArr) = graft.graph.EdgeTable.collectPacked(gated)
         if (isLocalMaster) gated.unpersist(blocking = false)
-        val ranks = localSolve(arr, alpha, tol, maxIters)
+        val ranks = localSolve(sA, dA, wArr, alpha, tol, maxIters)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false)))
@@ -180,24 +181,40 @@ object PageRank {
     * oracle): dangling recomputed from the current ranks each iteration,
     * per-dst gather accumulates in edge order, L1 delta stop.
     */
-  private[graft] def localSolve(edges: Array[(Long, Long, Double)], alpha: Double,
-                                tol: Double, maxIters: Int): Array[(Long, Double)] = {
-    val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
-    val n = ids.length
+  private[graft] def localSolve(srcA: Array[Long], dstA: Array[Long], wA: Array[Double],
+                                alpha: Double, tol: Double, maxIters: Int): Array[(Long, Double)] = {
+    val m = srcA.length
+    // ids = sorted distinct of both endpoint arrays (identical to the old
+    // tuple formulation's (srcs ++ dsts).distinct.sorted, allocation-free)
+    val all = new Array[Long](2 * m)
+    System.arraycopy(srcA, 0, all, 0, m)
+    System.arraycopy(dstA, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var n = 0
+    var j = 0
+    while (j < all.length) {
+      if (j == 0 || all(j) != all(j - 1)) n += 1
+      j += 1
+    }
     if (n == 0) return Array.empty
+    val ids = new Array[Long](n)
+    var k = 0
+    j = 0
+    while (j < all.length) {
+      if (j == 0 || all(j) != all(j - 1)) { ids(k) = all(j); k += 1 }
+      j += 1
+    }
     val index = new java.util.HashMap[Long, Int](n * 2)
     var i = 0
     while (i < n) { index.put(ids(i), i); i += 1 }
-    val m = edges.length
     val srcI = new Array[Int](m)
     val dstI = new Array[Int](m)
     val wArr = new Array[Double](m)
     val outW = new Array[Double](n)
     i = 0
     while (i < m) {
-      val (s, d, w) = edges(i)
-      srcI(i) = index.get(s); dstI(i) = index.get(d); wArr(i) = w
-      outW(srcI(i)) += w
+      srcI(i) = index.get(srcA(i)); dstI(i) = index.get(dstA(i)); wArr(i) = wA(i)
+      outW(srcI(i)) += wA(i)
       i += 1
     }
     var ranks = Array.fill(n)(1.0 / n)

@@ -145,9 +145,11 @@ object Leiden {
         edges.count() <= opts.localSolveEdgeThreshold) {
         val warm = pass == firstPass && !resumed
         val local = timed("localtail") {
-          val arr = edges.select(col("src").cast("long"), col("dst").cast("long"),
-              col("w").cast("double"))
-            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          // packed collect (no per-edge Row), then the tuple view LocalSolver
+          // expects — same row order as a Row collect, so the solver's
+          // order-sensitive accumulations are unchanged
+          val (sA, dA, wA) = graft.graph.EdgeTable.collectPacked(edges)
+          val arr = Array.tabulate(sA.length)(i => (sA(i), dA(i), wA(i)))
           val init =
             if (warm) seedMembership.map(_.select(col("id").cast("long"), col("comm").cast("long"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
