@@ -1001,6 +1001,18 @@ object CsrSweep {
         // gap-decode scratch (packed blocks): one src's adjacency, grown to
         // the block's max degree on demand
         var dbuf = if (packed != null) new Array[Int](1 << 10) else null
+        // batched community gather scratch: cbuf(i) = comm(adj(a0+i)),
+        // filled in ONE tight pure-gather pass before the scan loops. The
+        // scan's comm(dst) read is the kernel's dominant random DRAM/L3
+        // stream (gap-packing shrank the sequential stream to ~18
+        // bits/edge); buried inside the branch+hash-probe loop body its
+        // cache misses serialize behind the probe's dependent loads, while
+        // a dedicated gather loop exposes the full adjacency's worth of
+        // independent loads to the out-of-order window. Same element
+        // order, same values — the scans read cbuf instead of re-deriving
+        // comm(d), so every accumulation happens in the identical order
+        // and the sweep's decisions are bit-identical (parity specs).
+        var cbuf = new Array[Int](1 << 10)
         var k = 0
         while (k < srcs.length) {
           val s = srcs(k)
@@ -1047,6 +1059,13 @@ object CsrSweep {
               if (front) {
                 // accumulate candidates (dst != s; refine: same bound)
                 if (nt > 0) { var t = 0; while (t < nt) { keys(touched(t)) = -1; t += 1 }; nt = 0 }
+                // batched community gather (cbuf scaladoc above)
+                val alen = a1 - a0
+                if (cbuf.length < alen) {
+                  cbuf = new Array[Int](math.max(alen, cbuf.length * 2))
+                }
+                var g = 0
+                while (g < alen) { cbuf(g) = comm(adj(a0 + g)); g += 1 }
                 var e = a0
                 if (slots > 0) {
                   // lowmem scan (halfSweep scaladoc): MG/BM sketch pass,
@@ -1058,7 +1077,7 @@ object CsrSweep {
                   while (e < a1) {
                     val d = adj(e)
                     if (d != s && (bnd == null || bnd(d) == bs)) {
-                      val c = comm(d)
+                      val c = cbuf(e - a0)
                       val we = if (w == null) 1.0 else w(e)
                       if (slots == 1) {
                         // weighted Boyer-Moore replacement vote; exact tie
@@ -1110,7 +1129,7 @@ object CsrSweep {
                   while (e < a1) {
                     val d = adj(e)
                     if (d != s && (bnd == null || bnd(d) == bs)) {
-                      val c = comm(d)
+                      val c = cbuf(e - a0)
                       val h = slot(c)
                       if (keys(h) == c) vals(h) += (if (w == null) 1.0 else w(e))
                     }
@@ -1122,8 +1141,9 @@ object CsrSweep {
                     if (d != s) {
                       if ((nt + 1) * 2 > cap) grow()
                       val we = if (w == null) 1.0 else w(e)
-                      val h = slot(comm(d))
-                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = we; touched(nt) = h; nt += 1 }
+                      val c = cbuf(e - a0)
+                      val h = slot(c)
+                      if (keys(h) < 0) { keys(h) = c; vals(h) = we; touched(nt) = h; nt += 1 }
                       else vals(h) += we
                     }
                     e += 1
@@ -1135,8 +1155,9 @@ object CsrSweep {
                     if (d != s && bnd(d) == bs) {
                       if ((nt + 1) * 2 > cap) grow()
                       val we = if (w == null) 1.0 else w(e)
-                      val h = slot(comm(d))
-                      if (keys(h) < 0) { keys(h) = comm(d); vals(h) = we; touched(nt) = h; nt += 1 }
+                      val c = cbuf(e - a0)
+                      val h = slot(c)
+                      if (keys(h) < 0) { keys(h) = c; vals(h) = we; touched(nt) = h; nt += 1 }
                       else vals(h) += we
                     }
                     e += 1
