@@ -194,5 +194,11 @@ class AlgoSpec extends SparkSpec {
       clique(0L to 3L).map { case (a, b, w) => (a + 5000000000L, b + 5000000000L, w) })
     assert(Triangles.kernelCount(shifted) === None)
     assert(Triangles.globalCount(shifted) === 4L)
+    // simpleInput contract: on an input that IS a simple symmetric pair set
+    // the distinct-skipping feed counts identically to the defensive path
+    assert(Triangles.kernelCount(sym, simpleInput = true) ===
+      Triangles.kernelCount(sym))
+    assert(Triangles.globalCount(sym, simpleInput = true) ===
+      Triangles.globalCount(sym))
   }
 }

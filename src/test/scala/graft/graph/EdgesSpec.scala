@@ -12,6 +12,19 @@ class EdgesSpec extends SparkSpec {
     assert(s === Set((0L, 1L, 2.0), (1L, 0L, 5.0), (1L, 2L, 3.0), (2L, 1L, 3.0)))
   }
 
+  test("collectPacked returns the same rows in the same order as a Row collect") {
+    val e = EdgeTable.of(spark,
+      (0 until 500).map(i => ((i % 37).toLong, (i % 53).toLong, 1.0 + (i % 7))))
+      .repartition(4, col("src"))
+    val rows = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (s, d, w) = EdgeTable.collectPacked(e)
+    assert(s.length === rows.length)
+    // ORDER matters (the local tail solvers' float accumulation follows it)
+    assert(rows.indices.forall(i => rows(i) == ((s(i), d(i), w(i)))))
+  }
+
   test("dedupLastSeq keeps the last write per (src,dst)") {
     val spark2 = spark
     import spark2.implicits._
