@@ -207,15 +207,45 @@ object Leiden {
       // rows are reused below for vt/present. Post-aggregation passes are
       // renumbered dense, so the gate holds for every pass but possibly
       // the raw pass 0.
-      val vtotRows: Array[org.apache.spark.sql.Row] =
-        if (bcCt) timed("init") { vtotLazy.select("id", "vtot").collect() }
-        else Array.empty
+      // packed (no per-row Row object): the fill loops below are
+      // order-independent per-id assignments, so the collect mechanism is
+      // observationally identical to the old Row collect
+      val (vtIds, vtVals): (Array[Long], Array[Double]) =
+        if (bcCt) timed("init") {
+          val blocks = vtotLazy
+            .select(col("id").cast("long"), col("vtot").cast("double"))
+            .queryExecution.toRdd.mapPartitions { it =>
+              var cap = 1 << 12
+              var ids = new Array[Long](cap); var vs = new Array[Double](cap)
+              var k = 0
+              while (it.hasNext) {
+                val r = it.next()
+                if (k == cap) {
+                  cap *= 2
+                  ids = java.util.Arrays.copyOf(ids, cap)
+                  vs = java.util.Arrays.copyOf(vs, cap)
+                }
+                ids(k) = r.getLong(0); vs(k) = r.getDouble(1); k += 1
+              }
+              Iterator.single((java.util.Arrays.copyOf(ids, k),
+                java.util.Arrays.copyOf(vs, k)))
+            }.collect()
+          val nRows = blocks.iterator.map(_._1.length).sum
+          val ia = new Array[Long](nRows); val va = new Array[Double](nRows)
+          var off = 0
+          blocks.foreach { case (i2, v2) =>
+            System.arraycopy(i2, 0, ia, off, i2.length)
+            System.arraycopy(v2, 0, va, off, v2.length)
+            off += i2.length
+          }
+          (ia, va)
+        } else (Array.empty[Long], Array.empty[Double])
       val (minId, maxId): (Long, Long) =
-        if (bcCt && vtotRows.nonEmpty) {
+        if (bcCt && vtIds.nonEmpty) {
           var mn = Long.MaxValue; var mx = Long.MinValue
           var i = 0
-          while (i < vtotRows.length) {
-            val id = vtotRows(i).getLong(0)
+          while (i < vtIds.length) {
+            val id = vtIds(i)
             if (id < mn) mn = id
             if (id > mx) mx = id
             i += 1
@@ -248,10 +278,12 @@ object Leiden {
           val n = fBits
           val vt = new Array[Double](n)
           val present = new Array[Boolean](n)
-          vtotRows.foreach { r =>
-            val id = r.getLong(0).toInt
-            vt(id) = r.getDouble(1)
+          var vi = 0
+          while (vi < vtIds.length) {
+            val id = vtIds(vi).toInt
+            vt(id) = vtVals(vi)
             present(id) = true
+            vi += 1
           }
           if (warmInit) {
             // driver-side twin of the DataFrame tier's state0 joins: the
