@@ -76,6 +76,44 @@ object BenchExtra {
         .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
         .agg(count(lit(1)).as("w"))))
     }
+    if (want("leiden_agg_steps")) {
+      // decompose the pass-0 coarsen (leiden_phases "aggregate"): broadcast
+      // build vs agg-only (noop) vs cache+count, on the same cached input
+      // detect() builds
+      val perOrder = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"))
+      val pairsDf = perOrder
+        .select(explode(org.apache.spark.sql.graft.NativeColumns
+          .orderedPairs(col("ps"), true)).as("pr"))
+        .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val edges = pairsDf.repartition(spark.sparkContext.defaultParallelism,
+        col("src")).cache()
+      val ec = edges.count()
+      println(s"[benchextra] agg input edges=$ec")
+      val mx = edges.agg(max(greatest(col("src"), col("dst")))).head.getLong(0).toInt
+      val comm = Array.tabulate(mx + 1)(v => (v % 5000).toLong)
+      timed("agg: coarsenArrayCached 1st") {
+        graft.leiden.Aggregate.coarsenArrayCached(edges, comm).unpersist(blocking = true); ()
+      }
+      timed("agg: coarsenArrayCached 2nd") {
+        graft.leiden.Aggregate.coarsenArrayCached(edges, comm).unpersist(blocking = true); ()
+      }
+      val bcRef = new graft.catalyst.BcLongs(spark.sparkContext.broadcast(comm))
+      val proj = edges.select(
+          org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("src")).as("src"),
+          org.apache.spark.sql.graft.NativeColumns.bcLookupLong(bcRef, col("dst")).as("dst"),
+          col("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+      timed("agg: agg-only noop")(noop(proj))
+      timed("agg: agg-only noop again")(noop(proj))
+      timed("agg: cache+count") {
+        val c = proj.cache(); c.count(); c.unpersist(blocking = true); ()
+      }
+      edges.unpersist(blocking = false)
+    }
     if (want("ngram_steps")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       docs.cache().count()
